@@ -1,0 +1,80 @@
+"""Headline benchmark: multi-camera images/sec/chip for full scene
+generation (BEV raster -> 18-step MaskGit decode w/ CFG + self-critic ->
+VQ-GAN pixel decode), flagship Argoverse config, batch 16, bf16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference pipeline on its supported A5000 platform. It
+publishes no end-to-end throughput; we derive ~1.2 images/sec from its
+decode cost structure (18 steps x 4 sequential transformer forwards per
+batch — 2 CFG + 2 self-critic, muse_maskgit_pytorch.py:564-611 — of a
+14-layer/1024-wide model over 1024 tokens, plus stage-1 conv decode, at
+A5000 fp16 throughput; consistent with the 120.86 ms dense fwd+bwd
+micro-benchmark in scripts/inference.py:175). BASELINE.md target:
+>=5x this per chip.
+"""
+import json
+import os
+import sys
+import time
+
+BASELINE_IMAGES_PER_SEC = 1.2  # reference A5000 estimate (see docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bevgen_tpu.core.config import argoverse_muse_config
+    from bevgen_tpu.data.fake import fake_batch
+    from bevgen_tpu.pipelines.generate import BEVGenPipeline
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    cfg = argoverse_muse_config()
+    pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+
+    batch = fake_batch(cfg, batch_size=batch_size)
+    seg = jnp.asarray(batch["segmentation"])
+    ii = jnp.asarray(batch["intrinsics_inv"])
+    ei = jnp.asarray(batch["extrinsics_inv"])
+
+    @jax.jit
+    def run(params, seg, ii, ei, rng):
+        return pipe.generate_fn(params, seg, ii, ei, rng)
+
+    # warmup + compile. NOTE: on the tunneled axon platform
+    # block_until_ready returns before remote execution completes, so we
+    # synchronize by materializing one output scalar on the host.
+    def run_sync(rng):
+        imgs, ids = run(params, seg, ii, ei, rng)
+        np.asarray(ids[0, 0, 0, 0])
+        return imgs, ids
+
+    run_sync(jax.random.PRNGKey(1))
+    run_sync(jax.random.PRNGKey(100))  # second warmup: remote exec init
+
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        run_sync(jax.random.PRNGKey(2 + i))
+        times.append(time.perf_counter() - t0)
+
+    dt = min(times)
+    n_images = batch_size * cfg.transformer.num_cams
+    ips = n_images / dt
+
+    print(json.dumps({
+        "metric": "multi-cam images/sec/chip (7x256px scene generation, "
+                  "batch 16, 18-step MaskGit + CFG + self-critic + VQ decode)",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,287 @@
+"""Checkpointing: orbax save/load + torch-checkpoint conversion.
+
+Converter: maps the reference's torch `state_dict` layouts
+(taming VQModel — modules/stage1/vqgan.py; MUSE Net2NetTransformer —
+modules/stage2/cond_transformer_multi_view_muse.py + muse_maskgit_pytorch)
+onto this framework's flax param trees:
+
+  torch Linear    (out,in)        -> Dense kernel (in,out)
+  torch Conv2d    (out,in,kh,kw)  -> flax Conv kernel (kh,kw,in,out)
+  torch Conv2d1x1 (out,in,1,1)    -> Dense kernel (in,out)   [ray embeds]
+  torch Embedding (n,d)           -> Embed embedding (n,d)
+  GroupNorm/LayerNorm weight/bias -> scale/bias
+
+Loading handles the reference's own quirks (utils/general.py:119-160):
+strips `_forward_module.` prefixes, drops `token_critic.net.*` aliases
+(SelfCritic shares the transformer parameters), reports missing /
+unexpected keys, and converts DeepSpeed ZeRO directory checkpoints that
+were already flattened to a single state dict.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# low-level tensor layout converters
+# ---------------------------------------------------------------------------
+
+
+def t_linear(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def t_conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def t_conv1x1_to_dense(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w[:, :, 0, 0].T)
+
+
+def _set(tree: Dict, path: List[str], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+# ---------------------------------------------------------------------------
+# stage-1 (taming VQModel / VQSegmentationModel)
+# ---------------------------------------------------------------------------
+
+_S1_NORM = {"weight": "scale", "bias": "bias"}
+
+
+def _s1_block_name(tkey: str) -> Optional[List[str]]:
+    """Map a torch stage-1 module path (sans encoder./decoder. prefix and
+    sans param name) to our flax module path."""
+    m = re.match(r"down\.(\d+)\.block\.(\d+)\.(.*)", tkey)
+    if m:
+        return [f"down_{m.group(1)}_block_{m.group(2)}"] + m.group(3).split(".")
+    m = re.match(r"down\.(\d+)\.attn\.(\d+)\.(.*)", tkey)
+    if m:
+        return [f"down_{m.group(1)}_attn_{m.group(2)}"] + m.group(3).split(".")
+    m = re.match(r"down\.(\d+)\.downsample\.conv", tkey)
+    if m:
+        return [f"down_{m.group(1)}_downsample", "conv"]
+    m = re.match(r"up\.(\d+)\.block\.(\d+)\.(.*)", tkey)
+    if m:
+        return [f"up_{m.group(1)}_block_{m.group(2)}"] + m.group(3).split(".")
+    m = re.match(r"up\.(\d+)\.attn\.(\d+)\.(.*)", tkey)
+    if m:
+        return [f"up_{m.group(1)}_attn_{m.group(2)}"] + m.group(3).split(".")
+    m = re.match(r"up\.(\d+)\.upsample\.conv", tkey)
+    if m:
+        return [f"up_{m.group(1)}_upsample", "conv"]
+    m = re.match(r"mid\.(block_1|attn_1|block_2)\.(.*)", tkey)
+    if m:
+        return [f"mid_{m.group(1)}"] + m.group(2).split(".")
+    if tkey in ("conv_in", "conv_out"):
+        return [tkey]
+    if tkey == "norm_out":
+        return ["norm_out"]
+    return None
+
+
+def convert_stage1(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch VQModel state_dict -> flax params['params'] tree."""
+    out: Dict[str, Any] = {}
+    unexpected = []
+    for key, val in state.items():
+        val = np.asarray(val, dtype=np.float32)
+        parts = key.split(".")
+        pname = parts[-1]
+        if key == "quantize.embedding.weight":
+            _set(out, ["codebook"], val)
+            continue
+        if parts[0] in ("quant_conv", "post_quant_conv"):
+            if pname == "weight":
+                _set(out, [parts[0], "kernel"], np.transpose(val, (2, 3, 1, 0)))
+            else:
+                _set(out, [parts[0], "bias"], val)
+            continue
+        if parts[0] in ("img_embed", "cam_embed"):
+            _set(out, [parts[0], "kernel"], t_conv1x1_to_dense(val))
+            continue
+        if parts[0] in ("encoder", "decoder"):
+            sub = ".".join(parts[1:-1])
+            path = _s1_block_name(sub)
+            if path is None:
+                unexpected.append(key)
+                continue
+            # norm layers live one level deeper in flax (GroupNorm32)
+            if path[-1].startswith("norm"):
+                _set(out, [parts[0], *path, "norm", _S1_NORM[pname]], val)
+            elif pname == "weight":
+                if val.ndim == 4:
+                    _set(out, [parts[0], *path, "kernel"], t_conv(val))
+                else:
+                    _set(out, [parts[0], *path, "kernel"], t_linear(val))
+            else:
+                _set(out, [parts[0], *path, "bias"], val)
+            continue
+        if parts[0] in ("loss", "colorize", "image_plane"):
+            continue  # training-loss / viz buffers — not model params
+        unexpected.append(key)
+    if unexpected:
+        print(f"[convert_stage1] skipped {len(unexpected)} unexpected keys: "
+              f"{unexpected[:8]}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stage-2 (MUSE MultiViewTransformer + critic)
+# ---------------------------------------------------------------------------
+
+_ATTN_IDX = {"0": "attn", "1": "cross_attn"}
+_FF_IDX = {"0": "norm_in", "1": "proj_in", "3": "norm_mid", "4": "proj_out"}
+
+
+def convert_muse_transformer(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch TransformerMultiView state_dict (keys relative to the
+    transformer, e.g. 'token_emb.weight', 'transformer_blocks.layers.0.0.
+    to_q.weight') -> our MultiViewTransformer params tree."""
+    out: Dict[str, Any] = {}
+    unexpected = []
+    for key, val in state.items():
+        val = np.asarray(val, dtype=np.float32)
+        parts = key.split(".")
+        if parts[0] in ("token_emb", "cond_token_emb", "pos_emb",
+                        "cond_pos_emb") and parts[-1] == "weight":
+            _set(out, [parts[0], "embedding"], val)
+        elif key == "to_logits.weight":
+            _set(out, ["to_logits", "kernel"], t_linear(val))
+        elif parts[0] in ("img_embed", "cam_embed") and parts[-1] == "weight":
+            _set(out, [parts[0], "kernel"], t_conv1x1_to_dense(val))
+        elif parts[0] == "bev_embed":
+            if parts[-1] == "weight":
+                _set(out, ["bev_embed", "kernel"], t_conv1x1_to_dense(val))
+            else:
+                _set(out, ["bev_embed", "bias"], val)
+        elif key == "bev_cam_pos_emb":
+            _set(out, ["bev_cam_pos_emb"], val)
+        elif key == "camera_bias_emb":
+            _set(out, ["camera_bias_emb"], val[0] if val.ndim == 2 else val)
+        elif key == "norm.gamma":
+            # TransformerMultiView.norm — defined but unused upstream
+            continue
+        elif parts[0] == "transformer_blocks":
+            if parts[1] == "norm" and parts[2] == "gamma":
+                _set(out, ["final_norm", "norm", "scale"], val)
+                continue
+            assert parts[1] == "layers", key
+            layer, idx = parts[2], parts[3]
+            rest = parts[4:]
+            if idx in _ATTN_IDX:
+                mod = f"layers_{layer}_{_ATTN_IDX[idx]}"
+                if rest[0] == "norm" and rest[1] == "gamma":
+                    _set(out, [mod, "norm", "norm", "scale"], val)
+                elif rest[0] in ("to_q", "to_kv", "to_out"):
+                    _set(out, [mod, rest[0], "kernel"], t_linear(val))
+                elif rest[0] in ("q_scale", "k_scale", "null_kv"):
+                    _set(out, [mod, rest[0]], val)
+                else:
+                    unexpected.append(key)
+            elif idx == "2":  # FeedForward Sequential
+                mod = f"layers_{layer}_ff"
+                sub = rest[0]
+                if sub in ("0", "3") and rest[1] == "gamma":
+                    _set(out, [mod, _FF_IDX[sub], "norm", "scale"], val)
+                elif sub in ("1", "4") and rest[1] == "weight":
+                    _set(out, [mod, _FF_IDX[sub], "kernel"], t_linear(val))
+                else:
+                    unexpected.append(key)
+            else:
+                unexpected.append(key)
+        elif parts[0] == "beta" or key.endswith(".beta"):
+            continue  # LayerNorm beta zero-buffers
+        elif parts[0] == "image_plane" or parts[0] == "bev_grid":
+            continue  # geometry buffers recomputed from config
+        else:
+            unexpected.append(key)
+    if unexpected:
+        print(f"[convert_muse] skipped {len(unexpected)} unexpected keys: "
+              f"{unexpected[:8]}")
+    return out
+
+
+def convert_net2net(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Full reference Net2NetTransformer checkpoint -> pipeline params:
+    {'first_stage': ..., 'cond_stage': ..., 'maskgit': ...}."""
+    state = {re.sub(r"^_forward_module\.", "", k): v for k, v in state.items()}
+    groups: Dict[str, Dict[str, np.ndarray]] = {
+        "first": {}, "cond": {}, "tf": {}, "critic": {}}
+    for k, v in state.items():
+        if k.startswith("first_stage_model."):
+            groups["first"][k[len("first_stage_model."):]] = v
+        elif k.startswith("cond_stage_model."):
+            groups["cond"][k[len("cond_stage_model."):]] = v
+        elif k.startswith("maskgit.transformer."):
+            groups["tf"][k[len("maskgit.transformer."):]] = v
+        elif k.startswith("maskgit.token_critic.to_pred."):
+            groups["critic"][k[len("maskgit.token_critic.to_pred."):]] = v
+        # maskgit.token_critic.net.* are aliases of maskgit.transformer.*
+    maskgit_params: Dict[str, Any] = {
+        "transformer": convert_muse_transformer(groups["tf"])}
+    if groups["critic"]:
+        maskgit_params["critic"] = {"to_pred": {
+            "kernel": t_linear(np.asarray(groups["critic"]["weight"],
+                                          np.float32)),
+            "bias": np.asarray(groups["critic"]["bias"], np.float32)}}
+    return {
+        "first_stage": {"params": convert_stage1(groups["first"])},
+        "cond_stage": {"params": convert_stage1(groups["cond"])},
+        "maskgit": {"params": maskgit_params},
+    }
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch .ckpt/.pt file into a numpy state dict (handles
+    Lightning's {'state_dict': ...} wrapper)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+# ---------------------------------------------------------------------------
+# tree utilities & orbax IO
+# ---------------------------------------------------------------------------
+
+
+def tree_shapes(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(tree_shapes(v, p))
+        else:
+            out[p] = tuple(v.shape)
+    return out
+
+
+def verify_tree_match(converted, expected) -> Tuple[List[str], List[str]]:
+    """(missing, unexpected) param paths vs a freshly-initialized tree."""
+    cs, es = tree_shapes(converted), tree_shapes(expected)
+    missing = sorted(set(es) - set(cs))
+    unexpected = sorted(set(cs) - set(es))
+    mismatched = [f"{k}: {cs[k]} != {es[k]}"
+                  for k in set(cs) & set(es) if cs[k] != es[k]]
+    return missing, unexpected + mismatched
+
+
+def save_checkpoint(path: str, tree, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree)
+
+
+def restore_checkpoint(path: str, example=None):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(path, item=example)

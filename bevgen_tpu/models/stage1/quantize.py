@@ -1,0 +1,63 @@
+"""Nearest-codebook vector quantization — pure functions on a codebook.
+
+TPU-first re-design of the reference `VectorQuantizer2`
+(modules/stage1/quantize.py:213-329): the distance argmin is one big
+MXU matmul (``z @ E^T``) over the whole latent grid instead of a
+row-by-row nearest-neighbor loop; the straight-through estimator uses
+``stop_gradient``. The reference's `legacy` beta placement
+(quantize.py:290-295) is reproduced.
+
+Codebook layout: [n_embed, embed_dim] fp32 (matches torch
+`embedding.weight`, converted directly).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizeResult(NamedTuple):
+    z_q: jnp.ndarray        # quantized latents, same shape as z (..., d)
+    loss: jnp.ndarray       # codebook + commitment loss (scalar)
+    indices: jnp.ndarray    # codebook indices, shape z.shape[:-1]
+
+
+def nearest_indices(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """argmin_j ||z - e_j||^2 over the last dim, computed as
+    ||z||^2 + ||e||^2 - 2 z.e with the cross term on the MXU."""
+    zf = z.astype(jnp.float32)
+    cb = codebook.astype(jnp.float32)
+    z2 = jnp.sum(zf * zf, axis=-1, keepdims=True)           # (..., 1)
+    e2 = jnp.sum(cb * cb, axis=-1)                          # (n,)
+    cross = jnp.einsum("...d,nd->...n", zf, cb,
+                       preferred_element_type=jnp.float32)  # (..., n)
+    d = z2 + e2 - 2.0 * cross
+    return jnp.argmin(d, axis=-1)
+
+
+def quantize(z: jnp.ndarray, codebook: jnp.ndarray, beta: float = 0.25,
+             legacy: bool = True) -> QuantizeResult:
+    """Quantize `z` (..., d) against `codebook` (n, d) with an STE.
+
+    legacy=True keeps the reference's swapped beta placement
+    (quantize.py:290-295): loss = mean((sg[zq]-z)^2) + beta*mean((zq-sg[z])^2).
+    """
+    idx = nearest_indices(z, codebook)
+    z_q = jnp.take(codebook, idx, axis=0).astype(z.dtype)
+    zf = z.astype(jnp.float32)
+    qf = z_q.astype(jnp.float32)
+    commit = jnp.mean((jax.lax.stop_gradient(qf) - zf) ** 2)
+    embed = jnp.mean((qf - jax.lax.stop_gradient(zf)) ** 2)
+    if legacy:
+        loss = commit + beta * embed
+    else:
+        loss = beta * commit + embed
+    z_q = z + jax.lax.stop_gradient(z_q - z)
+    return QuantizeResult(z_q=z_q, loss=loss, indices=idx)
+
+
+def codebook_lookup(indices: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """indices (...) -> embeddings (..., d) (quantize.py:314-329)."""
+    return jnp.take(codebook, indices, axis=0)

@@ -1,0 +1,254 @@
+"""Stage-2 multi-view MaskGIT transformer, TPU-native.
+
+Functional re-design of the reference `TransformerMultiView`
+(modules/stage2/muse_maskgit_pytorch.py:204-384):
+
+  * per-layer: cosine-similarity self-attention over the multi-camera
+    image-token sequence (+ camera-bias additive logits), cross-attention
+    to the BEV condition tokens, GEGLU feed-forward;
+  * geometric embeddings: per-token camera-ray embedding (intrinsics/
+    extrinsics), BEV metric-grid embedding on condition tokens;
+  * classifier-free guidance via a per-sample `cond_keep` flag that
+    drops the BEV context down to the learned null key/value — so the
+    CFG cond/null pair batches into ONE forward at 2x batch instead of
+    the reference's two sequential forwards.
+
+Numerics notes (checkpoint fidelity):
+  * attention: q,k are l2-normalized then scaled by learned per-dim
+    q_scale/k_scale; logits multiplied by the fixed scale 8
+    (muse_maskgit_pytorch.py:132-148 — its pre-l2norm ``q * 8`` is a
+    numerical no-op and is dropped);
+  * a learned null K/V column is prepended to every attention's keys;
+  * LayerNorms are scale-only (beta is a zero buffer upstream), eps 1e-5;
+  * the camera bias = learned lower-triangular table + the static
+    angular-similarity prior (masks.camera_bias_matrix), sliced
+    [img,img] for self-attention and [img,cond] for cross-attention.
+
+Everything is fp32-param / `dtype`-compute; softmax and l2norm run fp32.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from bevgen_tpu.core.config import MultiViewConfig
+from bevgen_tpu.models import geometry, masks
+
+Dtype = Any
+
+NEG_INF = -0.7 * float(np.finfo(np.float32).max)
+
+
+class LayerNormG(nn.Module):
+    """Scale-only LayerNorm, eps 1e-5 (muse_maskgit_pytorch.py:62-69)."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=True,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="norm")(x)
+
+
+def l2norm(t, eps=1e-12):
+    n = jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True)
+    return (t.astype(jnp.float32) / jnp.maximum(n, eps))
+
+
+class CosineAttention(nn.Module):
+    """Cosine-sim attention with null-KV and optional additive bias
+    (muse_maskgit_pytorch.py:90-169)."""
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    scale: float = 8.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, context_mask=None, attn_bias=None):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+
+        x = LayerNormG(self.dtype, name="norm")(x)
+        kv_in = x if context is None else context
+        m = kv_in.shape[1]
+
+        dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype,
+                                         param_dtype=jnp.float32, name=name)
+        q = dense(inner, "to_q")(x)
+        kv = dense(inner * 2, "to_kv")(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, m, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, m, h, dh).transpose(0, 2, 1, 3)
+
+        null_kv = self.param("null_kv", nn.initializers.normal(1.0),
+                             (2, h, 1, dh), jnp.float32)
+        nk = jnp.broadcast_to(null_kv[0][None], (b, h, 1, dh)).astype(q.dtype)
+        nv = jnp.broadcast_to(null_kv[1][None], (b, h, 1, dh)).astype(q.dtype)
+        k = jnp.concatenate([nk, k], axis=2)
+        v = jnp.concatenate([nv, v], axis=2)
+
+        q_scale = self.param("q_scale", nn.initializers.ones, (dh,), jnp.float32)
+        k_scale = self.param("k_scale", nn.initializers.ones, (dh,), jnp.float32)
+        qf = l2norm(q) * q_scale
+        kf = l2norm(k) * k_scale
+
+        sim = jnp.einsum("bhid,bhjd->bhij", qf, kf,
+                         preferred_element_type=jnp.float32) * self.scale
+
+        if attn_bias is not None:
+            # pad a zero column for the null kv (muse_maskgit_pytorch.py:155)
+            bias = jnp.pad(attn_bias.astype(jnp.float32), ((0, 0), (1, 0)))
+            sim = sim + bias[None, None]
+
+        if context_mask is not None:
+            cm = jnp.pad(context_mask, ((0, 0), (1, 0)), constant_values=True)
+            sim = jnp.where(cm[:, None, None, :], sim, NEG_INF)
+
+        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return dense(self.dim, "to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """LN -> Dense(2*inner) -> gate*gelu(x) -> LN -> Dense(dim)
+    (muse_maskgit_pytorch.py:71-88)."""
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.dim * self.mult * 2 / 3)
+        dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype,
+                                         param_dtype=jnp.float32, name=name)
+        h = LayerNormG(self.dtype, name="norm_in")(x)
+        h = dense(inner * 2, "proj_in")(h)
+        a, gate = jnp.split(h, 2, axis=-1)
+        h = gate * jax.nn.gelu(a, approximate=False)
+        h = LayerNormG(self.dtype, name="norm_mid")(h)
+        return dense(self.dim, "proj_out")(h)
+
+
+class TransformerOutput(NamedTuple):
+    logits: jnp.ndarray  # (b, cam, hw, vocab)
+    embed: jnp.ndarray   # (b, cam*hw, dim)
+
+
+class MultiViewTransformer(nn.Module):
+    """The full stage-2 bidirectional transformer
+    (muse_maskgit_pytorch.py:204-384)."""
+    cfg: MultiViewConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids, cond_ids, intrinsics_inv, extrinsics_inv,
+                 cond_keep=None, deterministic: bool = True) -> TransformerOutput:
+        cfg = self.cfg
+        assert cfg.num_pad_tokens == 0, "MUSE dense path requires no pad tokens"
+        b, cam, hw = ids.shape
+        dim = cfg.num_embed
+        nc = cfg.num_cond_tokens
+
+        emb = lambda n, name: nn.Embed(n, dim, dtype=self.dtype,
+                                       param_dtype=jnp.float32, name=name)
+
+        x = emb(cfg.vocab_size + 1, "token_emb")(ids)        # (b,cam,hw,dim)
+
+        # ---- camera-ray embedding (muse_maskgit_pytorch.py:310-328) ----
+        c_embed = None
+        if cfg.image_embed:
+            plane = jnp.asarray(geometry.image_plane(cfg).reshape(3, -1))
+            I_inv = intrinsics_inv.astype(jnp.float32)        # (b,cam,3,3)
+            E_inv = extrinsics_inv.astype(jnp.float32)        # (b,cam,4,4)
+            pts = jnp.einsum("bcij,jn->bcin", I_inv, plane)   # (b,cam,3,hw)
+            pts = jnp.concatenate([pts, jnp.ones_like(pts[:, :, :1])], axis=2)
+            d = jnp.einsum("bcij,bcjn->bcin", E_inv, pts)     # (b,cam,4,hw)
+            c = E_inv[..., -1]                                # (b,cam,4)
+            img_dense = nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="img_embed")
+            cam_dense = nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="cam_embed")
+            d_emb = img_dense(d.transpose(0, 1, 3, 2).astype(self.dtype))
+            c_embed = cam_dense(c.astype(self.dtype))         # (b,cam,dim)
+            ray = (d_emb - c_embed[:, :, None, :]).astype(jnp.float32)
+            ray = ray / (jnp.linalg.norm(ray, axis=-1, keepdims=True) + 1e-7)
+            x = x + ray.astype(self.dtype)
+
+        x = x.reshape(b, cam * hw, dim)
+        pos = emb(cfg.num_img_tokens, "pos_emb")(
+            jnp.arange(cam * hw, dtype=jnp.int32))
+        x = x + pos[None]
+
+        # ---- BEV condition tokens (muse_maskgit_pytorch.py:333-341) ----
+        context = emb(cfg.cond_vocab_size, "cond_token_emb")(cond_ids)
+        if cfg.bev_embed:
+            bev_grid = jnp.asarray(geometry.get_bev_grid(cfg)[:2].reshape(2, -1).T)
+            grid_embed = nn.Dense(dim, use_bias=True, dtype=self.dtype,
+                                  param_dtype=jnp.float32, name="bev_embed")(
+                                      bev_grid.astype(self.dtype))   # (nc,dim)
+            bev_cam_pos = self.param("bev_cam_pos_emb", nn.initializers.zeros,
+                                     (1, cfg.num_cams, nc, dim), jnp.float32)
+            c_exp = c_embed[:, :, None, :] if c_embed is not None else 0.0
+            bev_cam = jnp.sum(bev_cam_pos.astype(self.dtype) + c_exp, axis=1)
+            context = context + (grid_embed[None] - bev_cam)
+        cond_pos = emb(nc, "cond_pos_emb")(jnp.arange(nc, dtype=jnp.int32))
+        context = context + cond_pos[None]
+
+        # classifier-free guidance: dropped-cond samples only see the null kv
+        context_mask = jnp.ones((b, nc), dtype=bool)
+        if cond_keep is not None:
+            context_mask = context_mask & cond_keep[:, None]
+
+        # ---- camera bias (muse_maskgit_pytorch.py:344-348) ----
+        self_bias = cross_bias = None
+        if cfg.camera_bias:
+            L = cfg.gpt_block_size
+            tril = np.tril_indices(L)
+            bias_flat = self.param("camera_bias_emb", nn.initializers.zeros,
+                                   (len(tril[0]),), jnp.float32)
+            bias = jnp.zeros((L, L), jnp.float32).at[tril].set(bias_flat)
+            bias = bias + jnp.asarray(masks.camera_bias_matrix(cfg))
+            self_bias = bias[nc:, nc:]
+            cross_bias = bias[nc:, :nc]
+
+        # ---- transformer blocks (muse_maskgit_pytorch.py:171-202) ----
+        for layer in range(cfg.num_layers):
+            x = x + CosineAttention(dim, cfg.dim_head, cfg.num_heads,
+                                    dtype=self.dtype,
+                                    name=f"layers_{layer}_attn")(
+                                        x, attn_bias=self_bias)
+            x = x + CosineAttention(dim, cfg.dim_head, cfg.num_heads,
+                                    dtype=self.dtype,
+                                    name=f"layers_{layer}_cross_attn")(
+                                        x, context=context,
+                                        context_mask=context_mask,
+                                        attn_bias=cross_bias)
+            x = x + GEGLUFeedForward(dim, cfg.ff_mult, dtype=self.dtype,
+                                     name=f"layers_{layer}_ff")(x)
+        embed = LayerNormG(self.dtype, name="final_norm")(x)
+
+        logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="to_logits")(embed)
+        return TransformerOutput(
+            logits=logits.reshape(b, cam, hw, cfg.vocab_size), embed=embed)
+
+
+class SelfCriticHead(nn.Module):
+    """Linear real/fake head over transformer embeddings
+    (muse_maskgit_pytorch.py:388-414)."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, embed):
+        return nn.Dense(1, use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="to_pred")(embed)[..., 0]

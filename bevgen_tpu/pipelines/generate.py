@@ -1,0 +1,105 @@
+"""End-to-end generation pipeline: BEV raster -> tokens -> images.
+
+One jit-compiled function runs the whole reference `generate.py` hot path
+(SURVEY §3.1): BEV VQ-VAE encode -> 18-step MaskGit decode (CFG + self-
+critic, all on device) -> RGB VQ-GAN decode — no host round-trips inside
+a batch. The reference instead crosses the python/framework boundary
+~70x per batch.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bevgen_tpu.core.config import PipelineConfig
+from bevgen_tpu.models.stage1.vq import VQModel, VQSegmentationModel
+from bevgen_tpu.models.stage2.maskgit import MaskGit, generate as maskgit_generate
+
+
+class BEVGenPipeline(NamedTuple):
+    """Bundles the three models + their configs. Params are kept as a
+    single dict {'first_stage': ..., 'cond_stage': ..., 'maskgit': ...}."""
+    config: PipelineConfig
+    first_stage: VQModel
+    cond_stage: VQSegmentationModel
+    maskgit: MaskGit
+
+    @classmethod
+    def create(cls, config: PipelineConfig, dtype=None) -> "BEVGenPipeline":
+        dtype = dtype or jnp.dtype(config.dtype)
+        return cls(
+            config=config,
+            first_stage=VQModel(config.first_stage, dtype=dtype),
+            cond_stage=VQSegmentationModel(config.cond_stage, dtype=dtype),
+            maskgit=MaskGit(config.transformer, config.muse, dtype=dtype),
+        )
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        cfg = self.config.transformer
+        r1, r2, r3 = jax.random.split(rng, 3)
+        b, cam = 1, cfg.num_cams
+        H, W = cfg.cam_res
+        bev = self.config.cond_stage.resolution
+        n_labels = self.config.cond_stage.in_channels
+        img = jnp.zeros((b, H, W, 3))
+        seg = jnp.zeros((b, bev, bev, n_labels))
+        ii = jnp.eye(3)[None, None].repeat(cam, 1)
+        ei = jnp.eye(4)[None, None].repeat(cam, 1)
+        ids = jnp.zeros((b, cam, cfg.num_cam_tokens), jnp.int32)
+        cond = jnp.zeros((b, cfg.num_cond_tokens), jnp.int32)
+        return {
+            "first_stage": self.first_stage.init(r1, img),
+            "cond_stage": self.cond_stage.init(r2, seg),
+            "maskgit": self.maskgit.init(r3, ids, cond, ii, ei,
+                                         method=MaskGit.init_all),
+        }
+
+    # ---- stage-1 wrappers -------------------------------------------------
+
+    def encode_bev(self, params, segmentation) -> jnp.ndarray:
+        """(b, bev, bev, n_labels) -> (b, num_cond) int32 tokens
+        (cond_transformer_multi_view_muse.py:149-155)."""
+        enc = self.cond_stage.apply(params["cond_stage"], segmentation,
+                                    method=VQSegmentationModel.encode)
+        b = segmentation.shape[0]
+        return enc.indices.reshape(b, -1)
+
+    def encode_images(self, params, images) -> jnp.ndarray:
+        """(b, cam, H, W, 3) -> (b, cam, hw) tokens."""
+        b, cam = images.shape[:2]
+        flat = images.reshape((b * cam,) + images.shape[2:])
+        enc = self.first_stage.apply(params["first_stage"], flat,
+                                     method=VQModel.encode)
+        return enc.indices.reshape(b, cam, -1)
+
+    def decode_tokens(self, params, ids) -> jnp.ndarray:
+        """(b, cam, h, w) int32 -> (b, cam, H, W, 3) images."""
+        b, cam, h, w = ids.shape
+        flat = ids.reshape(b * cam, h, w)
+        img = self.first_stage.apply(params["first_stage"], flat,
+                                     method=VQModel.decode_code)
+        return img.reshape(b, cam, *img.shape[1:])
+
+    # ---- the headline path ------------------------------------------------
+
+    def generate_fn(self, params, segmentation, intrinsics_inv,
+                    extrinsics_inv, rng,
+                    init_ids: Optional[jnp.ndarray] = None):
+        """BEV raster in, camera images out. Jit this."""
+        cond_ids = self.encode_bev(params, segmentation)
+        ids = maskgit_generate(self.maskgit, params["maskgit"], cond_ids,
+                               intrinsics_inv, extrinsics_inv, rng,
+                               init_ids=init_ids)
+        images = self.decode_tokens(params, ids)
+        return images, ids
+
+
+def make_jitted_generate(pipe: BEVGenPipeline, donate: bool = False):
+    @jax.jit
+    def run(params, segmentation, intrinsics_inv, extrinsics_inv, rng):
+        return pipe.generate_fn(params, segmentation, intrinsics_inv,
+                                extrinsics_inv, rng)
+    return run

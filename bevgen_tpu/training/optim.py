@@ -1,0 +1,111 @@
+"""Optimization: AdamW with minGPT-style decay partition, warmup-cosine
+LR, EMA — as optax transforms.
+
+Reference equivalents:
+  decay/no-decay split  <- cond_transformer_multi_view.py:402-477
+  warmup-cosine         <- utils/scheduler.py:3 (LambdaWarmUpCosineScheduler)
+  EMA                   <- modules/stage2/ema.py (NVIDIA callback); here a
+                           pure pytree transform — swap/offload machinery
+                           is unnecessary in a functional framework.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+# ---------------------------------------------------------------------------
+# decay mask
+# ---------------------------------------------------------------------------
+
+_NO_DECAY_TOKENS = ("bias", "embedding", "scale", "norm", "q_scale", "k_scale",
+                    "null_kv", "pos_emb", "camera_bias_emb", "bev_cam_pos_emb",
+                    "codebook")
+
+
+def decay_mask(params) -> Any:
+    """True where weight decay applies: matmul/conv kernels only —
+    biases, norms, embeddings and the learned bias/scale tables are
+    excluded (minGPT partition, cond_transformer_multi_view.py:402-455)."""
+    def is_decay(path, leaf):
+        parts = [str(getattr(k, "key", k)).lower() for k in path]
+        name = parts[-1] if parts else ""
+        if name == "kernel":
+            return True
+        return not any(t in p for p in parts for t in _NO_DECAY_TOKENS)
+    return jax.tree_util.tree_map_with_path(is_decay, params)
+
+
+# ---------------------------------------------------------------------------
+# schedules
+# ---------------------------------------------------------------------------
+
+
+def warmup_cosine(base_lr: float, warmup_steps: int, total_steps: int,
+                  min_lr: float = 0.0):
+    """Linear warmup then cosine decay to min_lr (utils/scheduler.py:3)."""
+    warmup_steps = max(warmup_steps, 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * jnp.minimum(step / warmup_steps, 1.0)
+        t = jnp.clip((step - warmup_steps) /
+                     jnp.maximum(total_steps - warmup_steps, 1), 0.0, 1.0)
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_steps, warm, cos)
+    return schedule
+
+
+# ---------------------------------------------------------------------------
+# optimizers
+# ---------------------------------------------------------------------------
+
+
+def maskgit_optimizer(base_lr: float, warmup_steps: int = 500,
+                      total_steps: int = 300_000, weight_decay: float = 0.01,
+                      b1: float = 0.9, b2: float = 0.95,
+                      grad_clip: Optional[float] = 1.0,
+                      params_example=None) -> optax.GradientTransformation:
+    """Stage-2 optimizer: AdamW(0.9, 0.95) + decay partition + warmup-cosine."""
+    sched = warmup_cosine(base_lr, warmup_steps, total_steps)
+    mask = decay_mask(params_example) if params_example is not None else None
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.scale_by_adam(b1=b1, b2=b2))
+    if mask is not None:
+        chain.append(optax.add_decayed_weights(weight_decay, mask=mask))
+    chain.append(optax.scale_by_schedule(lambda s: -sched(s)))
+    return optax.chain(*chain)
+
+
+def vqgan_optimizer(lr: float) -> optax.GradientTransformation:
+    """Stage-1 optimizer: Adam(0.5, 0.9) (vqgan.py:162-172)."""
+    return optax.adam(lr, b1=0.5, b2=0.9)
+
+
+# ---------------------------------------------------------------------------
+# EMA
+# ---------------------------------------------------------------------------
+
+
+class EmaState(NamedTuple):
+    params: Any
+    count: jnp.ndarray
+
+
+def ema_init(params) -> EmaState:
+    return EmaState(params=jax.tree_util.tree_map(jnp.asarray, params),
+                    count=jnp.zeros((), jnp.int32))
+
+
+def ema_update(state: EmaState, params, decay: float = 0.9999) -> EmaState:
+    """In-graph EMA (ema.py:162-345's functional core)."""
+    d = jnp.minimum(decay, (1.0 + state.count) / (10.0 + state.count))
+    new = jax.tree_util.tree_map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1 - d), state.params, params)
+    return EmaState(params=new, count=state.count + 1)

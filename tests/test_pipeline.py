@@ -1,0 +1,45 @@
+"""End-to-end pipeline tests (tiny config, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevgen_tpu.data.fake import fake_batch
+
+
+def test_full_generate_pipeline(tiny_pipe):
+    pipe, params = tiny_pipe
+    cfg = pipe.config.transformer
+    batch = fake_batch(pipe.config, batch_size=2)
+    seg = jnp.asarray(batch["segmentation"])
+    ii = jnp.asarray(batch["intrinsics_inv"])
+    ei = jnp.asarray(batch["extrinsics_inv"])
+
+    images, ids = jax.jit(pipe.generate_fn)(params, seg, ii, ei,
+                                            jax.random.PRNGKey(0))
+    H, W = cfg.cam_res
+    assert images.shape == (2, cfg.num_cams, H, W, 3)
+    h, w = cfg.cam_latent_res
+    assert ids.shape == (2, cfg.num_cams, h, w)
+    assert np.isfinite(np.asarray(images)).all()
+
+
+def test_encode_decode_tokens_roundtrip(tiny_pipe):
+    pipe, params = tiny_pipe
+    cfg = pipe.config.transformer
+    batch = fake_batch(pipe.config, batch_size=1)
+    img = jnp.asarray(batch["image"])
+    toks = pipe.encode_images(params, img)
+    assert toks.shape == (1, cfg.num_cams,
+                          pipe.config.first_stage.latent_resolution ** 2)
+    h = w = pipe.config.first_stage.latent_resolution
+    dec = pipe.decode_tokens(params, toks.reshape(1, cfg.num_cams, h, w))
+    assert dec.shape[:2] == (1, cfg.num_cams)
+
+
+def test_encode_bev_token_range(tiny_pipe):
+    pipe, params = tiny_pipe
+    batch = fake_batch(pipe.config, batch_size=2)
+    cond = pipe.encode_bev(params, jnp.asarray(batch["segmentation"]))
+    arr = np.asarray(cond)
+    n = pipe.config.cond_stage.n_embed
+    assert (arr >= 0).all() and (arr < n).all()

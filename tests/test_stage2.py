@@ -1,0 +1,196 @@
+"""Stage-2 transformer + MaskGit tests on the tiny config."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevgen_tpu.core.config import MultiViewConfig, MuseConfig
+from bevgen_tpu.models.stage2 import maskgit as mg
+from bevgen_tpu.models.stage2.transformer import MultiViewTransformer
+
+
+def tiny_cfg(**kw):
+    base = dict(num_layers=2, num_heads=2, num_embed=64, hidden_size=64,
+                dim_head=32, vocab_size=32, cond_vocab_size=32, num_cams=3,
+                cam_names="ARGOVERSE_FRONT_CAMERAS", dataset="argoverse",
+                cam_res=(32, 32), cam_latent_res=(4, 4), bev_latent_res=(4, 4),
+                window_len=4, camera_bias=True, image_embed=True,
+                bev_embed=True)
+    base.update(kw)
+    return MultiViewConfig(**base)
+
+
+def make_inputs(cfg, b=2, seed=0):
+    from bevgen_tpu.models import geometry
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, cfg.vocab_size,
+                       (b, cfg.num_cams, cfg.num_cam_tokens)).astype(np.int32)
+    cond = rng.integers(0, cfg.cond_vocab_size,
+                        (b, cfg.num_cond_tokens)).astype(np.int32)
+    intr, extr = geometry.canonical_camera_rig(cfg)
+    ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                         (b, cfg.num_cams, 3, 3)).astype(np.float32)
+    ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                         (b, cfg.num_cams, 4, 4)).astype(np.float32)
+    return jnp.asarray(ids), jnp.asarray(cond), jnp.asarray(ii), jnp.asarray(ei)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_cfg()
+    model = MultiViewTransformer(cfg)
+    ids, cond, ii, ei = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, cond, ii, ei)
+    return cfg, model, params, (ids, cond, ii, ei)
+
+
+def test_forward_shapes(model_and_params):
+    cfg, model, params, (ids, cond, ii, ei) = model_and_params
+    out = model.apply(params, ids, cond, ii, ei)
+    assert out.logits.shape == (2, 3, cfg.num_cam_tokens, cfg.vocab_size)
+    assert out.embed.shape == (2, cfg.num_img_tokens, cfg.num_embed)
+    assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_cond_drop_changes_logits(model_and_params):
+    cfg, model, params, (ids, cond, ii, ei) = model_and_params
+    keep = jnp.array([True, True])
+    drop = jnp.array([False, False])
+    a = model.apply(params, ids, cond, ii, ei, cond_keep=keep).logits
+    b = model.apply(params, ids, cond, ii, ei, cond_keep=drop).logits
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+def test_null_cond_ignores_cond_tokens(model_and_params):
+    """With cond dropped, changing BEV tokens must not change logits."""
+    cfg, model, params, (ids, cond, ii, ei) = model_and_params
+    drop = jnp.array([False, False])
+    a = model.apply(params, ids, cond, ii, ei, cond_keep=drop).logits
+    cond2 = (cond + 7) % cfg.cond_vocab_size
+    b = model.apply(params, ids, cond2, ii, ei, cond_keep=drop).logits
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_mask_token_accepted(model_and_params):
+    cfg, model, params, (ids, cond, ii, ei) = model_and_params
+    masked = jnp.full_like(ids, cfg.mask_token_id)
+    out = model.apply(params, masked, cond, ii, ei)
+    assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_camera_bias_affects_attention():
+    cfg_on = tiny_cfg(camera_bias=True)
+    cfg_off = tiny_cfg(camera_bias=False)
+    ids, cond, ii, ei = make_inputs(cfg_on)
+    m_on = MultiViewTransformer(cfg_on)
+    p_on = m_on.init(jax.random.PRNGKey(0), ids, cond, ii, ei)
+    assert "camera_bias_emb" in p_on["params"]
+    m_off = MultiViewTransformer(cfg_off)
+    p_off = m_off.init(jax.random.PRNGKey(0), ids, cond, ii, ei)
+    assert "camera_bias_emb" not in p_off["params"]
+
+
+def test_maskgit_generate_shapes_and_determinism():
+    cfg = tiny_cfg()
+    muse = MuseConfig(sample_iterations=3)
+    model = mg.MaskGit(cfg, muse)
+    ids, cond, ii, ei = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, cond, ii, ei, method=mg.MaskGit.init_all)
+    out = mg.generate(model, params, cond, ii, ei, jax.random.PRNGKey(1))
+    h, w = cfg.cam_latent_res
+    assert out.shape == (2, 3, h, w)
+    arr = np.asarray(out)
+    assert (arr >= 0).all() and (arr < cfg.vocab_size).all()
+    out2 = mg.generate(model, params, cond, ii, ei, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(arr, np.asarray(out2))
+    out3 = mg.generate(model, params, cond, ii, ei, jax.random.PRNGKey(2))
+    assert (np.asarray(out3) != arr).any()
+
+
+def test_maskgit_partial_decode_keeps_init():
+    cfg = tiny_cfg()
+    muse = MuseConfig(sample_iterations=2)
+    model = mg.MaskGit(cfg, muse)
+    ids, cond, ii, ei = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, cond, ii, ei, method=mg.MaskGit.init_all)
+    init = jnp.full_like(ids, cfg.mask_token_id)
+    init = init.at[:, 0].set(ids[:, 0])  # camera 0 fixed
+    out = mg.generate(model, params, cond, ii, ei, jax.random.PRNGKey(1),
+                      init_ids=init)
+    flat = np.asarray(out).reshape(ids.shape)
+    np.testing.assert_array_equal(flat[:, 0], np.asarray(ids[:, 0]))
+
+
+def test_maskgit_loss_finite_and_grads():
+    cfg = tiny_cfg()
+    muse = MuseConfig(sample_iterations=2)
+    model = mg.MaskGit(cfg, muse)
+    ids, cond, ii, ei = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, cond, ii, ei, method=mg.MaskGit.init_all)
+
+    def loss_fn(p):
+        return mg.maskgit_loss(model, p, jax.random.PRNGKey(3), ids, cond,
+                               ii, ei).loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # something nontrivial flows to the token embedding
+    g = np.asarray(grads["params"]["transformer"]["token_emb"]["embedding"])
+    assert np.abs(g).max() > 0
+
+
+def test_masked_cross_entropy_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((4, 7, 9)).astype(np.float32)
+    labels = rng.integers(-1, 9, (4, 7))
+    ours = mg.masked_cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+    ref = torch.nn.functional.cross_entropy(
+        torch.tensor(logits).permute(0, 2, 1), torch.tensor(labels),
+        ignore_index=-1)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_cosine_attention_matches_torch_reference():
+    """Golden check of the cosine-sim attention numerics vs a direct
+    torch transcription of muse_maskgit_pytorch.py:117-169."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    cfg = tiny_cfg()
+    from bevgen_tpu.models.stage2.transformer import CosineAttention
+    attn = CosineAttention(dim=64, dim_head=32, heads=2)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 6, 64)).astype(np.float32)
+    bias = rng.standard_normal((6, 6)).astype(np.float32)
+    params = attn.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       attn_bias=jnp.asarray(bias))
+    out = np.asarray(attn.apply(params, jnp.asarray(x),
+                                attn_bias=jnp.asarray(bias)))
+
+    p = params["params"]
+    g = torch.tensor(np.asarray(p["norm"]["norm"]["scale"]))
+    xt = torch.tensor(x)
+    xn = F.layer_norm(xt, (64,), g, torch.zeros(64), eps=1e-5)
+    q = xn @ torch.tensor(np.asarray(p["to_q"]["kernel"]))
+    kv = xn @ torch.tensor(np.asarray(p["to_kv"]["kernel"]))
+    k, v = kv.chunk(2, dim=-1)
+    q = q.reshape(1, 6, 2, 32).permute(0, 2, 1, 3)
+    k = k.reshape(1, 6, 2, 32).permute(0, 2, 1, 3)
+    v = v.reshape(1, 6, 2, 32).permute(0, 2, 1, 3)
+    nkv = torch.tensor(np.asarray(p["null_kv"]))
+    nk = nkv[0][None].expand(1, 2, 1, 32)
+    nv = nkv[1][None].expand(1, 2, 1, 32)
+    k = torch.cat([nk, k], dim=2)
+    v = torch.cat([nv, v], dim=2)
+    q = F.normalize(q, dim=-1) * torch.tensor(np.asarray(p["q_scale"]))
+    k = F.normalize(k, dim=-1) * torch.tensor(np.asarray(p["k_scale"]))
+    sim = torch.einsum("bhid,bhjd->bhij", q, k) * 8
+    sim = sim + F.pad(torch.tensor(bias), (1, 0))[None, None]
+    a = sim.softmax(-1)
+    o = torch.einsum("bhij,bhjd->bhid", a, v)
+    o = o.permute(0, 2, 1, 3).reshape(1, 6, 64)
+    ref = o @ torch.tensor(np.asarray(p["to_out"]["kernel"]))
+    np.testing.assert_allclose(out, ref.detach().numpy(), atol=2e-5)
