@@ -1,0 +1,190 @@
+"""Data layer tests: rasterizer geometry, sync cache, camera geometry,
+loader/collate, token shards."""
+import numpy as np
+import pytest
+
+from bevgen_tpu.data import camera_geometry as cg
+from bevgen_tpu.data import datamodule as dm
+from bevgen_tpu.data import rasterize, sync
+
+
+# ---------------------------------------------------------------------------
+# rasterizer
+# ---------------------------------------------------------------------------
+
+def test_ego_to_bev_px_known_points():
+    # ego origin maps to raster center (128, 128)
+    px = rasterize.ego_to_bev_px(np.array([[0.0, 0.0, 0.0]]))
+    np.testing.assert_array_equal(px[0], [128, 128])
+    # 10m ahead (ego +x) -> bev cam z=10 -> pixel col offset +32
+    px = rasterize.ego_to_bev_px(np.array([[10.0, 0.0, 0.0]]))
+    np.testing.assert_array_equal(px[0], [128, 160])
+    # 10m left (ego +y) -> cam x=-10 -> first coord 96
+    px = rasterize.ego_to_bev_px(np.array([[0.0, 10.0, 0.0]]))
+    np.testing.assert_array_equal(px[0], [96, 128])
+
+
+def test_rasterize_scene_channels_and_flip():
+    # a vehicle footprint 10m AHEAD of ego: after flipud it must be in
+    # the TOP half of the raster (ego points up, README.md:97-101)
+    quad = np.array([[8, -1, 0], [8, 1, 0], [12, 1, 0], [12, -1, 0]],
+                    np.float64)
+    drivable = [np.array([[-20, -20, 0], [-20, 20, 0], [20, 20, 0],
+                          [20, -20, 0]], np.float64)]
+    layers = rasterize.rasterize_scene(
+        drivable_polygons_ego=drivable,
+        cuboid_footprints_ego=[("REGULAR_VEHICLE", quad),
+                               ("BUS", quad), ("DOG", quad)],
+        lane_boundaries_ego=[np.array([[0, -5, 0], [20, -5, 0]])],
+        stoplines_ego=[],
+        ped_crossing_polygons_ego=[],
+    )
+    assert layers.shape == (256, 256, 7)
+    veh, large, ped, other = layers[..., 0], layers[..., 1], layers[..., 2], layers[..., 3]
+    assert veh.sum() > 0 and large.sum() > 0 and other.sum() > 0
+    assert ped.sum() == 0
+    # vehicle mass in the top half (row < 128) after flipud
+    rows = np.nonzero(veh)[0]
+    assert rows.max() < 128
+    assert layers[..., 4].sum() > 1000          # drivable
+    assert layers[..., 5].sum() > 0             # lane lines
+    assert layers[..., 6].sum() == 0            # no stop/ped
+
+
+def test_category_mapping():
+    assert rasterize.standard_category("REGULAR_VEHICLE") == "VEHICLE"
+    assert rasterize.standard_category("BOX_TRUCK") == "LARGE_VEHICLE"
+    assert rasterize.standard_category("PEDESTRIAN") == "PEDESTRIAN"
+    assert rasterize.standard_category("WHEELCHAIR") == "OTHER"
+
+
+def test_raster_npz_roundtrip(tmp_path):
+    layers = np.zeros((256, 256, 7), np.float32)
+    layers[10, 20, 3] = 1
+    p = tmp_path / "x.npz"
+    rasterize.save_bev_raster(p, layers)
+    back = rasterize.load_bev_raster(p)
+    np.testing.assert_array_equal(back, layers)
+
+
+# ---------------------------------------------------------------------------
+# synchronization
+# ---------------------------------------------------------------------------
+
+def test_synchronize_nearest_and_tolerance():
+    import pandas as pd
+    rows = []
+    # lidar at 0, 100ms, 200ms; camA near each; camB missing the last
+    for t in [0, 100_000_000, 200_000_000]:
+        rows.append(("val", "log1", "lidar", t))
+    for t in [2_000_000, 98_000_000, 201_000_000]:
+        rows.append(("val", "log1", "camA", t))
+    for t in [1_000_000, 99_000_000]:
+        rows.append(("val", "log1", "camB", t))
+    rec = pd.DataFrame(rows, columns=["split", "log_id", "sensor_name",
+                                      "timestamp_ns"])
+    out = sync.synchronize(rec, "lidar", ["camA", "camB"])
+    assert len(out) == 3
+    assert out.camA.tolist() == [2_000_000, 98_000_000, 201_000_000]
+    assert out.camB.tolist()[:2] == [1_000_000, 99_000_000]
+    assert pd.isna(out.camB.iloc[2])
+    full = sync.filter_complete(out, ["camA", "camB"])
+    assert len(full) == 2
+
+
+def test_build_sensor_records_paths():
+    files = [
+        "root/val/logX/sensors/cameras/ring_front_center/123.jpg",
+        "root/val/logX/sensors/lidar/456.feather",
+    ]
+    df = sync.build_sensor_records(files, "val")
+    assert set(df.sensor_name) == {"ring_front_center", "lidar"}
+    assert set(df.log_id) == {"logX"}
+    assert set(df.timestamp_ns) == {123, 456}
+
+
+# ---------------------------------------------------------------------------
+# camera geometry
+# ---------------------------------------------------------------------------
+
+def test_intrinsic_adjust_scale_then_crop_order():
+    K = np.array([[1000.0, 0, 800], [0, 1000, 450], [0, 0, 1]])
+    a = cg.CamIntrinsicAdjust(rescale_first=True)
+    a.set_scale(0.5, 0.25)
+    a.set_crop(10, 20)
+    out = a.apply(K)
+    np.testing.assert_allclose(out[0], [500, 0, 400 - 20])
+    np.testing.assert_allclose(out[1], [0, 250, 112.5 - 10])
+    b = cg.CamIntrinsicAdjust(rescale_first=False)
+    b.set_scale(0.5, 0.25)
+    b.set_crop(10, 20)
+    out = b.apply(K)
+    np.testing.assert_allclose(out[0], [500, 0, (800 - 20) * 0.5])
+    np.testing.assert_allclose(out[1], [0, 250, (450 - 10) * 0.25])
+
+
+def test_square_crops():
+    img = np.arange(4 * 6 * 3).reshape(4, 6, 3)  # landscape h=4 w=6
+    left = cg.square_crop(img, "ring_front_left")
+    np.testing.assert_array_equal(left, img[:, 2:])
+    right = cg.square_crop(img, "ring_front_right")
+    np.testing.assert_array_equal(right, img[:, :4])
+
+
+def test_normalize_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.05, 0.95, (8, 8, 3)).astype(np.float32)
+    back = cg.denormalize_image(cg.normalize_image(img))
+    np.testing.assert_allclose(back, img, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# loader
+# ---------------------------------------------------------------------------
+
+class _ToyDataset:
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        return {"image": np.full((2, 2), i, np.float32), "sample_token": f"t{i}"}
+
+
+def test_dataloader_orders_and_shapes():
+    dl = dm.DataLoader(_ToyDataset(), batch_size=3, shuffle=False,
+                       num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 3  # drop_last
+    assert batches[0]["image"].shape == (3, 2, 2)
+    assert batches[0]["sample_token"] == ["t0", "t1", "t2"]
+    assert batches[2]["sample_token"] == ["t6", "t7", "t8"]
+
+
+def test_dataloader_shuffle_deterministic():
+    d1 = dm.DataLoader(_ToyDataset(), 3, shuffle=True, seed=5)
+    d2 = dm.DataLoader(_ToyDataset(), 3, shuffle=True, seed=5)
+    a = [b["sample_token"] for b in d1]
+    b = [b["sample_token"] for b in d2]
+    assert a == b
+    # next epoch differs
+    c = [b["sample_token"] for b in d1]
+    assert c != a
+
+
+def test_token_shards_roundtrip(tmp_path):
+    from bevgen_tpu.data.tokens import TokenDataset
+    n, cam, hw, nc = 5, 3, 16, 16
+    rng = np.random.default_rng(0)
+    np.savez_compressed(
+        tmp_path / "shard_00000.npz",
+        tokens=rng.integers(0, 100, (n, cam, hw)).astype(np.int16),
+        cond_ids=rng.integers(0, 100, (n, nc)).astype(np.int16),
+        intrinsics_inv=rng.standard_normal((n, cam, 3, 3)).astype(np.float32),
+        extrinsics_inv=rng.standard_normal((n, cam, 4, 4)).astype(np.float32),
+        sample_token=np.asarray([f"s{i}" for i in range(n)]),
+    )
+    ds = TokenDataset(tmp_path)
+    assert len(ds) == 5
+    s = ds[2]
+    assert s["tokens"].shape == (cam, hw) and s["tokens"].dtype == np.int32
+    assert s["sample_token"] == "s2"
