@@ -1,0 +1,63 @@
+"""Hydra-ish CLI plumbing shared by the runnable scripts.
+
+The reference drives everything through hydra `key=value` overrides
+(generate.py, README.md:64-75); we keep that surface: positional
+`key=value` tokens, `preset=<name>` selects a PipelineConfig, dotted
+keys override nested dataclass fields, plus a few script-level keys the
+scripts pop for themselves.
+"""
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict, Tuple
+
+from bevgen_tpu.core.config import PRESETS, PipelineConfig, apply_overrides
+
+
+def parse_argv(argv=None) -> Dict[str, str]:
+    argv = argv if argv is not None else sys.argv[1:]
+    out: Dict[str, str] = {}
+    for tok in argv:
+        if "=" not in tok:
+            raise SystemExit(f"arguments must be key=value, got {tok!r}")
+        k, v = tok.split("=", 1)
+        out[k] = v
+    return out
+
+
+def build_config(args: Dict[str, str],
+                 default_preset: str = "argoverse_muse"
+                 ) -> Tuple[PipelineConfig, Dict[str, str]]:
+    """Pop config-related keys from args, return (config, leftover)."""
+    args = dict(args)
+    preset = args.pop("preset", default_preset)
+    if preset not in PRESETS:
+        raise SystemExit(f"unknown preset {preset!r}; "
+                         f"choose from {sorted(PRESETS)}")
+    cfg = PRESETS[preset]()
+    cfg_overrides = {}
+    passthrough = {}
+    import dataclasses
+    top_fields = {f.name for f in dataclasses.fields(cfg)}
+    for k, v in args.items():
+        head = k.split(".", 1)[0]
+        if head in top_fields:
+            cfg_overrides[k] = v
+        else:
+            passthrough[k] = v
+    cfg = apply_overrides(cfg, cfg_overrides)
+    return cfg, passthrough
+
+
+def setup_platform(args: Dict[str, str]):
+    """Honor platform=cpu / devices=N before jax backend init."""
+    import os
+    if "platform" in args:
+        os.environ["JAX_PLATFORMS"] = args.pop("platform")
+        if os.environ["JAX_PLATFORMS"] == "cpu" and "devices" in args:
+            n = args.pop("devices")
+            os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                       f" --xla_force_host_platform_device_count={n}")
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    return args

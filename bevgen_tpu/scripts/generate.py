@@ -1,0 +1,90 @@
+"""Batch generation CLI — the reference `generate.py` equivalent.
+
+Usage (mirrors README.md:64-75):
+
+  python -m bevgen_tpu.scripts.generate preset=argoverse_muse \
+      batch_size=4 eval_generate=/data/out ckpt_path=pretrained.ckpt \
+      datamodule.split=val
+
+Data source resolution order: `fake=N` (fake-batch fixture, no dataset
+needed) > ARGOVERSE_DATA_DIR dataset. Outputs the reference-compatible
+sample/ sample_gt/ bev.npz tree so metrics scripts run unchanged, and
+resumes by skipping already-generated tokens.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+from bevgen_tpu.scripts import cli
+
+
+def main(argv=None):
+    args = cli.parse_argv(argv)
+    args = cli.setup_platform(args)
+    cfg, args = cli.build_config(args)
+
+    import jax
+    import jax.numpy as jnp
+    from bevgen_tpu.data import datamodule as dm
+    from bevgen_tpu.data.fake import fake_batch
+    from bevgen_tpu.pipelines.generate import BEVGenPipeline
+    from bevgen_tpu.training.checkpoints import load_weights
+    from bevgen_tpu.utils.outputs import GenerationWriter
+
+    batch_size = cfg.batch_size  # `batch_size=N` lands in cfg
+    fake = int(args.pop("fake", 0))
+    save_dir = args.pop("eval_generate",
+                        os.path.join(os.environ.get("SAVE_DATA_DIR", "output"),
+                                     "eval_generate"))
+    ckpt_path = args.pop("ckpt_path", None)
+    seed = int(args.pop("seed", cfg.seed))
+    split = args.pop("datamodule.split", "val")
+    limit = int(args.pop("limit_batches", 0))
+    if args:
+        print(f"[generate] ignoring unknown args: {sorted(args)}")
+
+    pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
+    params = pipe.init_params(jax.random.PRNGKey(seed))
+    if ckpt_path:
+        params = load_weights(ckpt_path, params)
+        print(f"loaded weights from {ckpt_path}")
+
+    if fake:
+        batches = [fake_batch(cfg, batch_size, seed=seed + i)
+                   for i in range(max(1, fake // batch_size))]
+    else:
+        from bevgen_tpu.data.argoverse import ArgoverseDataset
+        ds = ArgoverseDataset(split=split, eval_generate=save_dir,
+                              cam_res=cfg.transformer.cam_res)
+        loader = dm.DataLoader(ds, batch_size, shuffle=False,
+                               drop_last=True)
+        batches = iter(loader)
+
+    run = jax.jit(pipe.generate_fn)
+    writer = GenerationWriter(save_dir)
+    rng = jax.random.PRNGKey(seed)
+
+    n_done = 0
+    t_start = time.perf_counter()
+    for i, batch in enumerate(batches):
+        if limit and i >= limit:
+            break
+        rng, step_rng = jax.random.split(rng)
+        images, ids = run(params, jnp.asarray(batch["segmentation"]),
+                          jnp.asarray(batch["intrinsics_inv"]),
+                          jnp.asarray(batch["extrinsics_inv"]), step_rng)
+        images = np.asarray(images, np.float32)
+        writer.write_batch(images, batch, gt_images=batch.get("image"))
+        n_done += images.shape[0] * images.shape[1]
+        print(f"batch {i}: {images.shape[0]} scenes -> {save_dir}")
+    dt = time.perf_counter() - t_start
+    print(json.dumps({"images": n_done, "seconds": round(dt, 2),
+                      "images_per_sec": round(n_done / dt, 3) if dt else 0}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Benchmark / profiling CLI — the reference scripts/inference.py
+equivalent (fake-batch fwd / fwd+bwd timing, peak memory, traces).
+
+  python -m bevgen_tpu.scripts.inference preset=argoverse_muse \
+      mode=forward|train|decode batch_size=8 profile=true
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from bevgen_tpu.scripts import cli
+
+
+def main(argv=None):
+    args = cli.parse_argv(argv)
+    args = cli.setup_platform(args)
+    cfg, args = cli.build_config(args)
+
+    import jax
+    import jax.numpy as jnp
+    from bevgen_tpu.models import geometry
+    from bevgen_tpu.models.stage2.maskgit import (MaskGit, generate,
+                                                  maskgit_loss)
+    from bevgen_tpu.utils import profiling
+
+    tf = cfg.transformer
+    mode = args.pop("mode", "forward")
+    # batch_size is a PipelineConfig field, so `batch_size=N` lands in cfg
+    batch_size = cfg.batch_size if cfg.batch_size > 1 else 8
+    reps = int(args.pop("reps", 5))
+    do_profile = args.pop("profile", "false").lower() == "true"
+    trace_dir = args.pop("trace_dir", "output/trace")
+    if args:
+        print(f"[inference] ignoring unknown args: {sorted(args)}")
+
+    model = MaskGit(tf, cfg.muse, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(
+        0, tf.vocab_size, (batch_size, tf.num_cams, tf.num_cam_tokens)),
+        jnp.int32)
+    cond = jnp.asarray(rng.integers(
+        0, tf.cond_vocab_size, (batch_size, tf.num_cond_tokens)), jnp.int32)
+    intr, extr = geometry.canonical_camera_rig(tf)
+    ii = jnp.asarray(np.broadcast_to(np.linalg.inv(intr)[None],
+                                     (batch_size, tf.num_cams, 3, 3)),
+                     jnp.float32)
+    ei = jnp.asarray(np.broadcast_to(np.linalg.inv(extr)[None],
+                                     (batch_size, tf.num_cams, 4, 4)),
+                     jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, cond, ii, ei,
+                        method=MaskGit.init_all)
+
+    key = jax.random.PRNGKey(1)
+    if mode == "forward":
+        fn = jax.jit(lambda p, t: model.apply(p, t, cond, ii, ei).logits)
+        run = lambda: fn(params, tokens)
+    elif mode == "train":
+        def loss(p, t, r):
+            return maskgit_loss(model, p, r, t, cond, ii, ei).loss
+        grad_fn = jax.jit(jax.grad(loss))
+        run = lambda: grad_fn(params, tokens, key)
+    elif mode == "decode":
+        fn = jax.jit(lambda p, c, r: generate(model, p, c, ii, ei, r))
+        run = lambda: fn(params, cond, key)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+    stats = profiling.benchmark(run, reps=reps)
+    if do_profile:
+        with profiling.trace(trace_dir):
+            run()
+        stats["trace"] = trace_dir
+    print(json.dumps({"mode": mode, "batch_size": batch_size,
+                      **{k: round(v, 3) if isinstance(v, float) else v
+                         for k, v in stats.items()}}))
+
+
+if __name__ == "__main__":
+    main()

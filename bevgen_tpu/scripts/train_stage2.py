@@ -1,0 +1,133 @@
+"""Stage-2 MaskGit training CLI.
+
+  python -m bevgen_tpu.scripts.train_stage2 preset=argoverse_muse \
+      steps=1000 batch_size=8 tokens_dir=/data/tokens dp=4 tp=2 \
+      ckpt_dir=ckpts base_lr=1e-4
+
+Token source: `tokens_dir` (pre-tokenized shards, data/tokens.py) or
+fake random tokens (`fake=true`, default when no dir given). Runs the
+sharded train step (DP batch + TP attention/FFN + ZeRO moments) over a
+(dp, tp) mesh, EMA, wall-clock + step checkpointing, metric logging.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from bevgen_tpu.scripts import cli
+
+
+def main(argv=None):
+    args = cli.parse_argv(argv)
+    args = cli.setup_platform(args)
+    cfg, args = cli.build_config(args)
+
+    import jax
+    import jax.numpy as jnp
+    from bevgen_tpu.data import datamodule as dm
+    from bevgen_tpu.models import geometry
+    from bevgen_tpu.models.stage2.maskgit import MaskGit
+    from bevgen_tpu.parallel import sharding as shd
+    from bevgen_tpu.training import optim, trainer
+    from bevgen_tpu.training.checkpoints import CheckpointManager
+
+    tf = cfg.transformer
+    steps = int(args.pop("steps", 1000))
+    # batch_size is a PipelineConfig field, so `batch_size=N` lands in cfg
+    batch_size = cfg.batch_size if cfg.batch_size > 1 else 8
+    tokens_dir = args.pop("tokens_dir", None)
+    base_lr = float(args.pop("base_lr", 1e-4))
+    warmup = int(args.pop("warmup_steps", 500))
+    ckpt_dir = args.pop("ckpt_dir", None)
+    ckpt_minutes = float(args.pop("ckpt_minutes", 30))
+    log_every = int(args.pop("log_every", 50))
+    dp = args.pop("dp", None)
+    tp = int(args.pop("tp", 1))
+    seed = int(args.pop("seed", cfg.seed))
+    if args:
+        print(f"[train_stage2] ignoring unknown args: {sorted(args)}")
+
+    mesh = shd.make_mesh(dp=int(dp) if dp else None, tp=tp)
+    print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
+    model = MaskGit(tf, cfg.muse, dtype=jnp.dtype(cfg.dtype))
+
+    # ---- data ------------------------------------------------------------
+    def fake_batches():
+        rng = np.random.default_rng(seed)
+        intr, extr = geometry.canonical_camera_rig(tf)
+        ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                             (batch_size, tf.num_cams, 3, 3)).astype(np.float32)
+        ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                             (batch_size, tf.num_cams, 4, 4)).astype(np.float32)
+        while True:
+            yield {
+                "tokens": rng.integers(
+                    0, tf.vocab_size,
+                    (batch_size, tf.num_cams, tf.num_cam_tokens)).astype(np.int32),
+                "cond_ids": rng.integers(
+                    0, tf.cond_vocab_size,
+                    (batch_size, tf.num_cond_tokens)).astype(np.int32),
+                "intrinsics_inv": ii, "extrinsics_inv": ei,
+            }
+
+    if tokens_dir:
+        from bevgen_tpu.data.tokens import TokenDataset
+        ds = TokenDataset(tokens_dir)
+        loader = dm.DataLoader(ds, batch_size, shuffle=True, seed=seed,
+                               num_workers=2)
+
+        def epochs():
+            while True:
+                for b in loader:
+                    b.pop("sample_token", None)
+                    b["tokens"] = b["tokens"].reshape(
+                        batch_size, tf.num_cams, -1)
+                    yield b
+        batches = epochs()
+    else:
+        batches = fake_batches()
+
+    # ---- state -----------------------------------------------------------
+    sample = next(batches)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.asarray(sample["tokens"]),
+                        jnp.asarray(sample["cond_ids"]),
+                        jnp.asarray(sample["intrinsics_inv"]),
+                        jnp.asarray(sample["extrinsics_inv"]),
+                        method=MaskGit.init_all)
+    tx = optim.maskgit_optimizer(base_lr, warmup_steps=warmup,
+                                 total_steps=steps,
+                                 params_example=params["params"])
+    state = trainer.create_train_state(params, tx)
+    step_fn, state = trainer.make_sharded_train_step(model, tx, mesh, state)
+
+    mgr = CheckpointManager(ckpt_dir, ckpt_minutes) if ckpt_dir else None
+    rng = jax.random.PRNGKey(seed + 1)
+
+    t0 = time.perf_counter()
+    with mesh:
+        for i in range(steps):
+            batch = shd.shard_batch(
+                {k: np.asarray(v) for k, v in next(batches).items()}, mesh)
+            state, metrics = step_fn(state, batch, rng)
+            if (i + 1) % log_every == 0 or i == 0:
+                m = {k: round(float(v), 4) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                m["steps_per_sec"] = round((i + 1) / dt, 3)
+                print(json.dumps({"step": i + 1, **m}))
+            if mgr is not None:
+                mgr.save_step(i + 1, jax.tree_util.tree_map(
+                    np.asarray, state.params))
+    if mgr is not None:
+        mgr.save_step(steps, jax.tree_util.tree_map(np.asarray, state.params),
+                      force=True)
+        mgr.save_ema(steps, jax.tree_util.tree_map(np.asarray,
+                                                   state.ema.params))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

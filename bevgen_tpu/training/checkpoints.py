@@ -1,0 +1,87 @@
+"""Checkpoint management: periodic + wall-clock-interval saves, EMA
+variants, resume.
+
+Reference equivalents: the two ModelCheckpoint callbacks (every epoch +
+every 30 min wall-clock, utils/general.py:44-55), `-EMA` suffixed
+checkpoints (ema.py:94-146) and the three-level load order
+(README.md:112): stage-1 ckpts -> weights-only -> full train state.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from bevgen_tpu.core import checkpoint as ckpt_io
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, interval_minutes: float = 30.0,
+                 keep_last: int = 3):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.interval_s = interval_minutes * 60.0
+        self.keep_last = keep_last
+        self._last_save = time.monotonic()
+
+    def _save(self, tag: str, state: Any):
+        path = self.dir / tag
+        if path.exists():
+            import shutil
+            shutil.rmtree(path)
+        tree = jax.tree_util.tree_map(np.asarray, state)
+        ckpt_io.save_checkpoint(str(path), tree)
+        (self.dir / "LATEST").write_text(tag)
+
+    def save_step(self, step: int, state: Any, force: bool = False):
+        """Wall-clock-interval save (the 30-min ModelCheckpoint)."""
+        now = time.monotonic()
+        if force or (now - self._last_save) >= self.interval_s:
+            self._save(f"step_{step:08d}", state)
+            self._last_save = now
+            self._prune()
+            return True
+        return False
+
+    def save_epoch(self, epoch: int, state: Any):
+        self._save(f"epoch_{epoch:04d}", state)
+        self._prune()
+
+    def save_ema(self, step: int, ema_params: Any):
+        self._save(f"step_{step:08d}-EMA", ema_params)
+
+    def _prune(self):
+        tags = sorted(p.name for p in self.dir.iterdir()
+                      if p.is_dir() and p.name.startswith("step_")
+                      and not p.name.endswith("-EMA"))
+        for t in tags[:-self.keep_last]:
+            import shutil
+            shutil.rmtree(self.dir / t, ignore_errors=True)
+
+    def latest(self) -> Optional[str]:
+        marker = self.dir / "LATEST"
+        if marker.exists():
+            tag = marker.read_text().strip()
+            if (self.dir / tag).exists():
+                return str(self.dir / tag)
+        return None
+
+    def restore_latest(self, example: Any) -> Optional[Any]:
+        path = self.latest()
+        if path is None:
+            return None
+        return ckpt_io.restore_checkpoint(path, example)
+
+
+def load_weights(path: str, example_params: Any) -> Any:
+    """Weights-only load (+model.ckpt_path level): orbax dir or torch
+    .ckpt via the converter (utils/general.py:119)."""
+    p = Path(path)
+    if p.suffix in (".ckpt", ".pt", ".pth"):
+        state = ckpt_io.load_torch_checkpoint(str(p))
+        return ckpt_io.convert_net2net(state)
+    return ckpt_io.restore_checkpoint(str(p), example_params)

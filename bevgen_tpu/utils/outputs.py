@@ -1,0 +1,85 @@
+"""Generated-image sinks: the output tree the metrics pipeline consumes.
+
+Equivalent of the reference `GenerateImages` callback
+(utils/callback.py:33-164): per sample writes
+
+  <save_dir>/sample/<token>/<cam>.jpg      generated images
+  <save_dir>/sample_gt/<token>/<cam>.jpg   ground truth
+  <save_dir>/sample/<token>/bev.npz(+png)  conditioning raster
+  <save_dir>/viz/<token>.png               composite figure
+
+so the reference's metrics scripts (scripts/metrics_eval.py) run
+unchanged on our outputs. `rand_str` appends a random suffix to tokens
+to allow multiple samples per scene (callback.py:64).
+"""
+from __future__ import annotations
+
+import random
+import string
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from bevgen_tpu.data.camera_geometry import denormalize_image
+from bevgen_tpu.utils.image import Im
+from bevgen_tpu.utils.viz import scene_figure, viz_bev
+
+
+class GenerationWriter:
+    def __init__(self, save_dir: str, rand_str: bool = False,
+                 save_viz: bool = True, denormalize: bool = True,
+                 rank: int = 0):
+        self.save_dir = Path(save_dir)
+        self.rand_str = rand_str
+        self.save_viz = save_viz
+        self.denormalize = denormalize
+        self.rank = rank
+
+    def _token(self, token: str) -> str:
+        if self.rand_str:
+            suffix = "".join(random.choices(
+                string.ascii_uppercase + string.digits, k=5))
+            return f"{token}_{suffix}"
+        return token
+
+    def write_batch(self, gen_images: np.ndarray,
+                    batch: Dict, gt_images: Optional[np.ndarray] = None):
+        """gen_images: (b, cam, H, W, 3) normalized or [0,1] floats.
+        batch: the dataset batch dict (segmentation, cam_name,
+        sample_token). Returns the written sample dirs."""
+        gen = np.asarray(gen_images, np.float32)
+        if self.denormalize:
+            gen = denormalize_image(gen)
+        gt = None
+        if gt_images is not None:
+            gt = np.asarray(gt_images, np.float32)
+            if self.denormalize:
+                gt = denormalize_image(gt)
+
+        cam_names = batch["cam_name"]
+        written = []
+        for b, token in enumerate(batch["sample_token"]):
+            tok = self._token(token)
+            names = [cam_names[c][b] if isinstance(cam_names[c],
+                                                   (list, tuple))
+                     else cam_names[c] for c in range(gen.shape[1])]
+            sdir = self.save_dir / "sample" / tok
+            gdir = self.save_dir / "sample_gt" / tok
+            for c, name in enumerate(names):
+                Im(gen[b, c]).save(sdir / f"{name}.jpg")
+                if gt is not None:
+                    Im(gt[b, c]).save(gdir / f"{name}.jpg")
+            seg = np.asarray(batch["segmentation"][b], np.float32)
+            sdir.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(sdir / "bev.npz", seg)
+            viz_bev(seg).save(sdir / "bev.png")
+            if gt is not None:
+                gdir.mkdir(parents=True, exist_ok=True)
+                np.savez_compressed(gdir / "bev.npz", seg)
+            if self.save_viz:
+                fig = scene_figure(gen[b], seg, names,
+                                   gt[b] if gt is not None else None)
+                fig.save(self.save_dir / "viz" / f"{tok}.png")
+            written.append(sdir)
+        return written
