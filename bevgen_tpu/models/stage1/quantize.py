@@ -61,3 +61,67 @@ def quantize(z: jnp.ndarray, codebook: jnp.ndarray, beta: float = 0.25,
 def codebook_lookup(indices: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     """indices (...) -> embeddings (..., d) (quantize.py:314-329)."""
     return jnp.take(codebook, indices, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# variant quantizers (reference quantize.py:110-209, :331-444 — used by
+# the GumbelVQ / EMAVQ model variants)
+# ---------------------------------------------------------------------------
+
+
+def gumbel_quantize(logits: jnp.ndarray, codebook: jnp.ndarray, rng,
+                    temperature: float = 1.0, hard: bool = True,
+                    kl_weight: float = 5e-4) -> QuantizeResult:
+    """Gumbel-softmax relaxed VQ (reference `GumbelQuantize`,
+    quantize.py:110-209): `logits` (..., n_embed) are projected scores;
+    soft one-hot mixes the codebook, KL-to-uniform regularizer."""
+    n = codebook.shape[0]
+    g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+    lf = logits.astype(jnp.float32)
+    soft = jax.nn.softmax((lf + g) / temperature, axis=-1)
+    if hard:
+        idx = jnp.argmax(soft, axis=-1)
+        onehot = jax.nn.one_hot(idx, n, dtype=soft.dtype)
+        soft = soft + jax.lax.stop_gradient(onehot - soft)
+    else:
+        idx = jnp.argmax(soft, axis=-1)
+    z_q = jnp.einsum("...n,nd->...d", soft,
+                     codebook.astype(jnp.float32))
+    probs = jax.nn.softmax(lf, axis=-1)
+    kl = kl_weight * jnp.mean(
+        jnp.sum(probs * jnp.log(probs * n + 1e-10), axis=-1))
+    return QuantizeResult(z_q=z_q, loss=kl, indices=idx)
+
+
+def ema_quantize(z: jnp.ndarray, codebook: jnp.ndarray,
+                 cluster_size: jnp.ndarray, embed_avg: jnp.ndarray,
+                 beta: float = 0.25, decay: float = 0.99,
+                 eps: float = 1e-5, update: bool = True):
+    """EMA-codebook VQ (reference `EMAVectorQuantizer`,
+    quantize.py:361-444): nearest lookup + STE commit loss, codebook
+    maintained by exponential moving averages instead of gradients.
+
+    Returns (QuantizeResult, (new_codebook, new_cluster_size,
+    new_embed_avg)).
+    """
+    n, d = codebook.shape
+    idx = nearest_indices(z, codebook)
+    z_q = jnp.take(codebook, idx, axis=0).astype(z.dtype)
+    zf = z.astype(jnp.float32)
+    loss = beta * jnp.mean((jax.lax.stop_gradient(z_q.astype(jnp.float32))
+                            - zf) ** 2)
+    out = z + jax.lax.stop_gradient(z_q - z)
+
+    if update:
+        onehot = jax.nn.one_hot(idx.reshape(-1), n, dtype=jnp.float32)
+        counts = onehot.sum(0)
+        sums = onehot.T @ zf.reshape(-1, d)
+        new_cluster = cluster_size * decay + counts * (1 - decay)
+        new_avg = embed_avg * decay + sums * (1 - decay)
+        tot = new_cluster.sum()
+        smoothed = (new_cluster + eps) / (tot + n * eps) * tot
+        new_codebook = new_avg / smoothed[:, None]
+    else:
+        new_cluster, new_avg, new_codebook = cluster_size, embed_avg, codebook
+    res = QuantizeResult(z_q=out, loss=loss, indices=idx)
+    return res, (new_codebook, new_cluster, new_avg)

