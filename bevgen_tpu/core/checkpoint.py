@@ -164,7 +164,16 @@ def convert_muse_transformer(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
         elif key == "bev_cam_pos_emb":
             _set(out, ["bev_cam_pos_emb"], val)
         elif key == "camera_bias_emb":
-            _set(out, ["camera_bias_emb"], val[0] if val.ndim == 2 else val)
+            # torch stores the flat lower-triangle (1, n_tril); our param
+            # is the full (L, L) matrix masked by a static tril at use —
+            # scatter host-side here
+            flat = val[0] if val.ndim == 2 else val
+            n = flat.shape[0]
+            L = int((np.sqrt(8 * n + 1) - 1) / 2)
+            assert L * (L + 1) // 2 == n, (n, L)
+            full = np.zeros((L, L), np.float32)
+            full[np.tril_indices(L)] = flat
+            _set(out, ["camera_bias_emb"], full)
         elif key == "norm.gamma":
             # TransformerMultiView.norm — defined but unused upstream
             continue

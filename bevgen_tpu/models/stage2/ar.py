@@ -24,6 +24,7 @@ from bevgen_tpu.models.stage2.gpt import SparseGPT
 
 def top_k_logits(logits, k: int):
     """Keep top-k logits, -inf elsewhere (cond_transformer:149-153)."""
+    k = min(k, logits.shape[-1])
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)
 

@@ -156,10 +156,12 @@ class SparseGPT(nn.Module):
 
         bias = None
         if cfg.camera_bias:
-            tril = np.tril_indices(L)
-            bias_flat = self.param("camera_bias_emb", nn.initializers.zeros,
-                                   (len(tril[0]),), jnp.float32)
-            bias = jnp.zeros((L, L), jnp.float32).at[tril].set(bias_flat)
+            # full-matrix param + static tril mask (see transformer.py —
+            # avoids a huge per-forward scatter)
+            bias_full = self.param("camera_bias_emb", nn.initializers.zeros,
+                                   (L, L), jnp.float32)
+            tril_mask = jnp.asarray(np.tril(np.ones((L, L), np.float32)))
+            bias = bias_full * tril_mask
             bias = bias + jnp.asarray(masks.camera_bias_matrix(cfg))
 
         sm = masks.sparse_masks(cfg)

@@ -113,7 +113,10 @@ def _muse_torch_key(path):
     if parts[0] == "bev_embed":
         return (("bev_embed.weight", conv1x1) if parts[1] == "kernel"
                 else ("bev_embed.bias", ident))
-    if parts[0] in ("bev_cam_pos_emb", "camera_bias_emb"):
+    if parts[0] == "camera_bias_emb":
+        # our param is the full (L, L) matrix; torch stores flat tril
+        return parts[0], lambda a: a[np.tril_indices(a.shape[0])][None]
+    if parts[0] == "bev_cam_pos_emb":
         return parts[0], ident
     if parts[0] == "final_norm":
         return "transformer_blocks.norm.gamma", ident

@@ -43,3 +43,27 @@ def test_encode_bev_token_range(tiny_pipe):
     arr = np.asarray(cond)
     n = pipe.config.cond_stage.n_embed
     assert (arr >= 0).all() and (arr < n).all()
+
+
+def test_ar_pipeline_end_to_end():
+    import jax
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.pipelines.ar import ARPipeline
+    cfg = tiny_test_config()
+    # AR path with small sparse blocks on the tiny geometry
+    import dataclasses
+    cfg = dataclasses.replace(cfg, transformer=cfg.transformer.replace(
+        sparse_block_size=8, density=0.8, camera_bias=False,
+        bev_embed=False))
+    pipe = ARPipeline.create(cfg, use_pallas=False)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    batch = fake_batch(cfg, batch_size=1)
+    images, ids = jax.jit(pipe.generate_fn)(
+        params, jnp.asarray(batch["segmentation"]),
+        jnp.asarray(batch["intrinsics_inv"]),
+        jnp.asarray(batch["extrinsics_inv"]), jax.random.PRNGKey(1))
+    tf = cfg.transformer
+    H, W = tf.cam_res
+    assert images.shape == (1, tf.num_cams, H, W, 3)
+    arr = np.asarray(ids)
+    assert (arr >= 0).all() and (arr < tf.vocab_size).all()
