@@ -248,10 +248,25 @@ def convert_net2net(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Read a torch .ckpt/.pt file into a numpy state dict (handles
-    Lightning's {'state_dict': ...} wrapper)."""
+    """Read a torch .ckpt/.pt file into a numpy state dict. Handles
+    Lightning's {'state_dict': ...} wrapper and DeepSpeed ZeRO
+    *directory* checkpoints (utils/general.py:81-116's conversion):
+    for a directory, reads `<tag>/mp_rank_00_model_states.pt`'s
+    `module` dict directly — ZeRO-2 shards only optimizer state, so
+    model weights live whole in the rank-0 model-states file."""
     import torch
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    from pathlib import Path as _P
+    p = _P(path)
+    if p.is_dir():
+        candidates = sorted(p.rglob("*model_states.pt"))
+        if not candidates:
+            raise FileNotFoundError(
+                f"no *model_states.pt under ZeRO dir {p}")
+        obj = torch.load(candidates[0], map_location="cpu",
+                         weights_only=False)
+        obj = obj.get("module", obj)
+    else:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     return {k: v.detach().cpu().numpy() for k, v in obj.items()

@@ -22,6 +22,34 @@ from bevgen_tpu.models import geometry
 from bevgen_tpu.models.stage2.gpt import SparseGPT
 
 
+def bbox_token_weights(cfg: MultiViewConfig, bboxes, weight: float):
+    """Per-token CE weights from 2-D boxes (cond_transformer:281-347):
+    latent cells overlapping any box get `1 + weight`, others 1.
+
+    bboxes: (b, cam, k, 4) pixel boxes (left, top, right, bottom) in
+    cam_res coordinates. Returns (b, cam * hw) float32.
+    """
+    H, W = cfg.cam_res
+    h, w = cfg.cam_latent_res
+    cell_h, cell_w = H / h, W / w
+    rows = (jnp.arange(h, dtype=jnp.float32) + 0.5) * cell_h   # cell centers
+    cols = (jnp.arange(w, dtype=jnp.float32) + 0.5) * cell_w
+    cy = rows.reshape(1, 1, h, 1, 1)
+    cx = cols.reshape(1, 1, 1, w, 1)
+    bb = jnp.asarray(bboxes, jnp.float32)                       # (b,cam,k,4)
+    left, top = bb[..., 0], bb[..., 1]
+    right, bottom = bb[..., 2], bb[..., 3]
+    # inside[b,cam,h,w,k]
+    inside = ((cx >= left[:, :, None, None, :]) &
+              (cx <= right[:, :, None, None, :]) &
+              (cy >= top[:, :, None, None, :]) &
+              (cy <= bottom[:, :, None, None, :]))
+    hit = inside.any(axis=-1)                                   # (b,cam,h,w)
+    weights = 1.0 + weight * hit.astype(jnp.float32)
+    b = bb.shape[0]
+    return weights.reshape(b, -1)
+
+
 def top_k_logits(logits, k: int):
     """Keep top-k logits, -inf elsewhere (cond_transformer:149-153)."""
     k = min(k, logits.shape[-1])

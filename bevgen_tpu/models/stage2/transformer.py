@@ -97,8 +97,11 @@ class CosineAttention(nn.Module):
 
         q_scale = self.param("q_scale", nn.initializers.ones, (dh,), jnp.float32)
         k_scale = self.param("k_scale", nn.initializers.ones, (dh,), jnp.float32)
-        qf = l2norm(q) * q_scale
-        kf = l2norm(k) * k_scale
+        # l2norm + learned scales in fp32, then back to the compute dtype
+        # so the MXU runs the similarity matmul at bf16 rate (values are
+        # unit-norm — well inside bf16 range)
+        qf = (l2norm(q) * q_scale).astype(self.dtype)
+        kf = (l2norm(k) * k_scale).astype(self.dtype)
 
         sim = jnp.einsum("bhid,bhjd->bhij", qf, kf,
                          preferred_element_type=jnp.float32) * self.scale

@@ -51,6 +51,7 @@ def main(argv=None):
     inception_npz = args.pop("inception_weights", "pretrained/inception.npz")
     lpips_npz = args.pop("lpips_weights", "pretrained/lpips.npz")
     do_consistency = args.pop("consistency", "false").lower() == "true"
+    per_camera = args.pop("per_camera", "false").lower() == "true"
     max_samples = int(args.pop("max_samples", 0)) or None
     if args:
         print(f"[metrics_eval] ignoring unknown args: {sorted(args)}")
@@ -80,6 +81,19 @@ def main(argv=None):
     tag = "fid_inception" if feat else "fid_pixelstats(NOT paper FID)"
     feat = feat or fid_mod.pixel_statistics_features
     results[tag] = fid_mod.fid_from_features(feat(gen), feat(gt))
+
+    if per_camera:
+        # per-camera FID (scripts/metrics_eval_front.py equivalent)
+        by_cam = {}
+        for cams_g, cams_t in scenes:
+            for name in cams_g:
+                if name in cams_t:
+                    by_cam.setdefault(name, ([], []))
+                    by_cam[name][0].append(cams_g[name])
+                    by_cam[name][1].append(cams_t[name])
+        for name, (gs, ts) in sorted(by_cam.items()):
+            results[f"fid/{name}"] = fid_mod.fid_from_features(
+                feat(np.stack(gs)), feat(np.stack(ts)))
 
     if do_consistency:
         ratios = [cons.consistency_ratio(g, t) for g, t in scenes]

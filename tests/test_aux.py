@@ -1,0 +1,163 @@
+"""Tests for auxiliary subsystems: nuScenes raster core, logging,
+conditioning providers, curation, per-camera FID."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from bevgen_tpu.data import nuscenes_raster as nr
+
+
+def test_global_to_bev_center():
+    pose_inv = np.eye(4)   # ego at origin
+    px = nr.global_to_bev(np.array([[0.0, 0.0, 0.0]]), pose_inv)
+    np.testing.assert_array_equal(px[0], [128, 128])
+    # 10m ahead (+x) -> row decreases (ego points up): view maps x->-row
+    px = nr.global_to_bev(np.array([[10.0, 0.0, 0.0]]), pose_inv)
+    assert px[0][1] < 128 and px[0][0] == 128
+
+
+def test_static_and_line_layers():
+    pose_inv = np.eye(4)
+    polys = {"drivable_area": [np.array(
+        [[-20, -20, 0], [-20, 20, 0], [20, 20, 0], [20, -20, 0]],
+        np.float64)]}
+    static = nr.get_static_layers(polys, pose_inv)
+    assert static.shape == (256, 256, 4)
+    assert static[..., 0].sum() > 1000
+    assert static[..., 1].sum() == 0
+    lines = nr.get_line_layers(
+        {"lane_divider": [np.array([[0, -5, 0], [20, -5, 0]])]}, pose_inv)
+    assert lines.shape == (256, 256, 2)
+    assert lines[..., 1].sum() > 0
+
+
+def test_dynamic_layers_and_objects():
+    pose_inv = np.eye(4)
+    quad = nr.box_bottom_corners([10, 0, 0], (2.0, 4.5, 1.6), yaw=0.0)
+    assert quad.shape == (4, 3)
+    layers = nr.get_dynamic_layers({"car": [quad]}, pose_inv)
+    assert layers[..., 0].sum() > 0
+    obj = nr.get_dynamic_objects([quad], pose_inv)
+    assert obj.shape == (256, 256, 8)
+    seg = obj[..., 0]
+    assert seg.sum() > 0
+    # center score peaks inside the box
+    assert obj[..., 1].max() > 0.5
+
+
+def test_parse_pose_inverse():
+    R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+    t = np.array([1.0, 2.0, 3.0])
+    M = nr.parse_pose(t, R)
+    Mi = nr.parse_pose(t, R, inv=True)
+    np.testing.assert_allclose(M @ Mi, np.eye(4), atol=1e-12)
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    from bevgen_tpu.utils.logging import MetricsLogger
+    lg = MetricsLogger(tmp_path, use_wandb=False, config={"a": 1})
+    lg.log(1, {"loss": 0.5})
+    lg.log(2, {"loss": 0.25})
+    lg.log_image("grid", np.zeros((4, 4, 3), np.uint8), step=1)
+    lg.close()
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])["loss"] == 0.5
+    assert (tmp_path / "images" / "grid_000001.png").exists()
+    assert json.loads((tmp_path / "config.json").read_text()) == {"a": 1}
+
+
+def test_save_mask_plots(tmp_path):
+    from bevgen_tpu.core.config import MultiViewConfig
+    from bevgen_tpu.utils.logging import save_mask_plots
+    cfg = MultiViewConfig(num_layers=1, num_heads=2, num_embed=32,
+                          hidden_size=32, vocab_size=16, cond_vocab_size=16,
+                          num_cams=3, cam_names="ARGOVERSE_FRONT_CAMERAS",
+                          dataset="argoverse", cam_latent_res=(4, 4),
+                          bev_latent_res=(4, 4), sparse_block_size=8,
+                          density=0.5, window_len=4)
+    out = save_mask_plots(cfg, tmp_path / "plots")
+    names = {p.name for p in out.iterdir()}
+    assert {"camera_bias_prob_matrix.png", "allowed_pattern.png",
+            "static_layout.png"} <= names
+
+
+def test_conditioning_providers():
+    from bevgen_tpu.models.conditioning import Labelator, SOSProvider
+    import jax.numpy as jnp
+    lab = Labelator(10)
+    c, _, idx = lab.encode(jnp.asarray([3, 7]))
+    assert c.shape == (2, 1) and int(c[0, 0]) == 3
+    sos = SOSProvider(sos_token=5)
+    c, _, _ = sos.encode(jnp.zeros((4, 8)))
+    assert c.shape == (4, 1) and int(c[1, 0]) == 5
+
+
+def test_curate_interesting_and_filter(tmp_path):
+    import cv2
+    from bevgen_tpu.data.rasterize import save_bev_raster
+    from bevgen_tpu.scripts import curate
+
+    bev_dir = tmp_path / "bev" / "log1"
+    bev_dir.mkdir(parents=True)
+    busy = np.zeros((256, 256, 7), np.float32)
+    busy[100:130, 100:130, 0] = 1
+    busy[50:60, 50:60, 2] = 1
+    empty = np.zeros((256, 256, 7), np.float32)
+    save_bev_raster(bev_dir / "111.npz", busy)
+    save_bev_raster(bev_dir / "222.npz", empty)
+    scores = curate.interesting_scores(tmp_path / "bev")
+    assert scores[0][0] == "log1_111"
+
+    # filter: two samples, one where gen==gt (good), one noise (bad)
+    rng = np.random.default_rng(0)
+    root = tmp_path / "out"
+    for tok, noise in (("good", 0.0), ("bad", 1.0)):
+        for sub in ("sample", "sample_gt"):
+            (root / sub / tok).mkdir(parents=True)
+        base = (rng.uniform(0, 255, (32, 32, 3))).astype(np.uint8)
+        noisy = np.clip(base + noise * rng.normal(0, 120, base.shape),
+                        0, 255).astype(np.uint8)
+        cv2.imwrite(str(root / "sample" / tok / "cam.jpg"), noisy)
+        cv2.imwrite(str(root / "sample_gt" / tok / "cam.jpg"), base)
+    kept, removed = curate.filter_outputs(root, keep_frac=0.5)
+    assert kept == 1 and removed == 1
+    assert (root / "sample" / "good").exists()
+    assert not (root / "sample" / "bad").exists()
+
+
+def test_bbox_token_weights():
+    import jax.numpy as jnp
+    from bevgen_tpu.core.config import MultiViewConfig
+    from bevgen_tpu.models.stage2.ar import bbox_token_weights
+    cfg = MultiViewConfig(num_layers=1, num_heads=2, num_embed=32,
+                          hidden_size=32, vocab_size=16, cond_vocab_size=16,
+                          num_cams=3, cam_names="ARGOVERSE_FRONT_CAMERAS",
+                          dataset="argoverse", cam_res=(32, 32),
+                          cam_latent_res=(4, 4), bev_latent_res=(4, 4))
+    # one box covering the top-left quadrant of camera 0
+    bb = np.zeros((1, 3, 1, 4), np.float32)
+    bb[0, 0, 0] = [0, 0, 16, 16]
+    w = np.asarray(bbox_token_weights(cfg, jnp.asarray(bb), weight=4.0))
+    assert w.shape == (1, 3 * 16)
+    grid = w[0, :16].reshape(4, 4)
+    np.testing.assert_allclose(grid[:2, :2], 5.0)   # inside
+    np.testing.assert_allclose(grid[2:, 2:], 1.0)   # outside
+    np.testing.assert_allclose(w[0, 16:], 1.0)      # other cameras
+
+
+def test_tokenizer_bpe_mechanics(tmp_path):
+    """Exercise the BPE machinery with a miniature merges vocab."""
+    import gzip
+    from bevgen_tpu.utils.tokenizer import SimpleTokenizer
+    merges = "#version\nh e</w>\nl l\nhe llo</w>\n"
+    path = tmp_path / "bpe.txt.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(merges)
+    tok = SimpleTokenizer(str(path))
+    ids = tok.encode("hello hello")
+    assert len(ids) > 0
+    back = tok.decode(ids)
+    assert "hello" in back
