@@ -68,14 +68,26 @@ def city_to_ego(points_city: np.ndarray, city_R_ego: np.ndarray,
     return (np.asarray(city_R_ego).T @ p.T).T
 
 
+def _use_native() -> bool:
+    import os
+    if os.environ.get("BEVGEN_NATIVE_RASTER") != "1":
+        return False
+    from bevgen_tpu import native
+    return native.available()
+
+
 def fill_polygons(polygons: Iterable[np.ndarray],
                   shape: Tuple[int, int] = (RESOLUTION_PX, RESOLUTION_PX)
                   ) -> np.ndarray:
     """Binary mask from int pixel polygons (av2 raster_utils
-    get_mask_from_polygons equivalent)."""
-    img = np.zeros(shape, dtype=np.uint8)
+    get_mask_from_polygons equivalent). Routes through the native C++
+    core when BEVGEN_NATIVE_RASTER=1 (bevgen_tpu.native)."""
     polys = [np.asarray(p, np.int32).reshape(-1, 2) for p in polygons]
     polys = [p for p in polys if len(p) >= 3]
+    if _use_native():
+        from bevgen_tpu import native
+        return native.fill_polygons(polys, shape)
+    img = np.zeros(shape, dtype=np.uint8)
     if polys and cv2 is not None:
         cv2.fillPoly(img, polys, 1)
     return img
@@ -86,14 +98,17 @@ def draw_polylines(polylines: Iterable[np.ndarray],
                    thickness: int = 1) -> np.ndarray:
     """Binary mask of 1-px polylines (av2 draw_visible_polyline_segments
     equivalent)."""
+    lines = [np.asarray(l, np.int32).reshape(-1, 2) for l in polylines]
+    lines = [l for l in lines if len(l) >= 2]
+    if thickness == 1 and _use_native():
+        from bevgen_tpu import native
+        return native.draw_polylines(lines, shape)
     img = np.zeros(shape, dtype=np.uint8)
     if cv2 is None:
         return img
-    for line in polylines:
-        pts = np.asarray(line, np.int32).reshape(-1, 2)
-        if len(pts) >= 2:
-            cv2.polylines(img, [pts], isClosed=False, color=1,
-                          thickness=thickness)
+    for pts in lines:
+        cv2.polylines(img, [pts], isClosed=False, color=1,
+                      thickness=thickness)
     return img
 
 
