@@ -69,9 +69,20 @@ class ARPipeline(NamedTuple):
     def generate_fn(self, params, segmentation, intrinsics_inv,
                     extrinsics_inv, rng, temperature: float = 1.0,
                     top_k: Optional[int] = 100,
-                    init_ids: Optional[jnp.ndarray] = None):
+                    init_ids: Optional[jnp.ndarray] = None,
+                    cached: bool = True):
+        """cached=True uses the KV-cached incremental decoder (O(L)x
+        less compute, verified equivalent — models/stage2/ar_cached.py);
+        cached=False runs the reference-parity full-forward loop."""
         cond = self.encode_bev(params, segmentation)
-        ids = ar.ar_sample(self.gpt, params["gpt"], cond, intrinsics_inv,
-                           extrinsics_inv, rng, temperature=temperature,
-                           top_k=top_k, init_ids=init_ids)
+        if cached:
+            from bevgen_tpu.models.stage2.ar_cached import ar_sample_cached
+            ids = ar_sample_cached(self.gpt, params["gpt"], cond,
+                                   intrinsics_inv, extrinsics_inv, rng,
+                                   temperature=temperature, top_k=top_k,
+                                   init_ids=init_ids)
+        else:
+            ids = ar.ar_sample(self.gpt, params["gpt"], cond, intrinsics_inv,
+                               extrinsics_inv, rng, temperature=temperature,
+                               top_k=top_k, init_ids=init_ids)
         return self.decode_tokens(params, ids), ids
