@@ -44,6 +44,8 @@ def main(argv=None):
     seed = int(args.pop("seed", cfg.seed))
     split = args.pop("datamodule.split", "val")
     limit = int(args.pop("limit_batches", 0))
+    layout = args.pop("layout", "argoverse")
+    save_rec = args.pop("save_rec", "false").lower() == "true"
     if args:
         print(f"[generate] ignoring unknown args: {sorted(args)}")
 
@@ -65,8 +67,17 @@ def main(argv=None):
         batches = iter(loader)
 
     run = jax.jit(pipe.generate_fn)
-    writer = GenerationWriter(save_dir)
+    writer = GenerationWriter(save_dir, layout=layout)
     rng = jax.random.PRNGKey(seed)
+
+    recon = None
+    if save_rec:
+        @jax.jit
+        def recon(params, image):
+            toks = pipe.encode_images(params, image)
+            b, cam = image.shape[:2]
+            h, w = cfg.transformer.cam_latent_res
+            return pipe.decode_tokens(params, toks.reshape(b, cam, h, w))
 
     n_done = 0
     t_start = time.perf_counter()
@@ -78,7 +89,11 @@ def main(argv=None):
                           jnp.asarray(batch["intrinsics_inv"]),
                           jnp.asarray(batch["extrinsics_inv"]), step_rng)
         images = np.asarray(images, np.float32)
-        writer.write_batch(images, batch, gt_images=batch.get("image"))
+        rec = (np.asarray(recon(params, jnp.asarray(batch["image"])),
+                          np.float32)
+               if recon is not None and "image" in batch else None)
+        writer.write_batch(images, batch, gt_images=batch.get("image"),
+                           rec_images=rec)
         n_done += images.shape[0] * images.shape[1]
         print(f"batch {i}: {images.shape[0]} scenes -> {save_dir}")
     dt = time.perf_counter() - t_start

@@ -29,12 +29,16 @@ from bevgen_tpu.utils.viz import scene_figure, viz_bev
 class GenerationWriter:
     def __init__(self, save_dir: str, rand_str: bool = False,
                  save_viz: bool = True, denormalize: bool = True,
-                 rank: int = 0):
+                 rank: int = 0, layout: str = "argoverse"):
+        """layout='argoverse' writes sample/ sample_gt/; 'nuscenes'
+        writes the flat gen/ gt/ rec/ trees (callback.py's nuScenes
+        mode, consumed by metrics_eval's nuScenes path)."""
         self.save_dir = Path(save_dir)
         self.rand_str = rand_str
         self.save_viz = save_viz
         self.denormalize = denormalize
         self.rank = rank
+        self.layout = layout
 
     def _token(self, token: str) -> str:
         if self.rand_str:
@@ -44,18 +48,29 @@ class GenerationWriter:
         return token
 
     def write_batch(self, gen_images: np.ndarray,
-                    batch: Dict, gt_images: Optional[np.ndarray] = None):
+                    batch: Dict, gt_images: Optional[np.ndarray] = None,
+                    rec_images: Optional[np.ndarray] = None):
         """gen_images: (b, cam, H, W, 3) normalized or [0,1] floats.
         batch: the dataset batch dict (segmentation, cam_name,
-        sample_token). Returns the written sample dirs."""
+        sample_token). rec_images: optional stage-1 reconstructions of
+        the GT (the reference log_images' 'rec' output,
+        cond_transformer_multi_view_muse.py:283).
+        Returns the written sample dirs."""
         gen = np.asarray(gen_images, np.float32)
         if self.denormalize:
             gen = denormalize_image(gen)
-        gt = None
+        gt = rec = None
         if gt_images is not None:
             gt = np.asarray(gt_images, np.float32)
             if self.denormalize:
                 gt = denormalize_image(gt)
+        if rec_images is not None:
+            rec = np.asarray(rec_images, np.float32)
+            if self.denormalize:
+                rec = denormalize_image(rec)
+
+        if self.layout == "nuscenes":
+            return self._write_nuscenes(gen, gt, rec, batch)
 
         cam_names = batch["cam_name"]
         written = []
@@ -77,9 +92,35 @@ class GenerationWriter:
             if gt is not None:
                 gdir.mkdir(parents=True, exist_ok=True)
                 np.savez_compressed(gdir / "bev.npz", seg)
+            if rec is not None:
+                rdir = self.save_dir / "sample_rec" / tok
+                for c, name in enumerate(names):
+                    Im(rec[b, c]).save(rdir / f"{name}.jpg")
             if self.save_viz:
                 fig = scene_figure(gen[b], seg, names,
                                    gt[b] if gt is not None else None)
                 fig.save(self.save_dir / "viz" / f"{tok}.png")
             written.append(sdir)
+        return written
+
+    def _write_nuscenes(self, gen, gt, rec, batch):
+        """Flat gen/ gt/ rec/ trees keyed <token>_<cam>.jpg
+        (callback.py's nuScenes output mode)."""
+        cam_names = batch["cam_name"]
+        written = []
+        for b, token in enumerate(batch["sample_token"]):
+            tok = self._token(token)
+            names = [cam_names[c][b] if isinstance(cam_names[c],
+                                                   (list, tuple))
+                     else cam_names[c] for c in range(gen.shape[1])]
+            for c, name in enumerate(names):
+                Im(gen[b, c]).save(self.save_dir / "gen" /
+                                   f"{tok}_{name}.jpg")
+                if gt is not None:
+                    Im(gt[b, c]).save(self.save_dir / "gt" /
+                                      f"{tok}_{name}.jpg")
+                if rec is not None:
+                    Im(rec[b, c]).save(self.save_dir / "rec" /
+                                       f"{tok}_{name}.jpg")
+            written.append(tok)
         return written
