@@ -304,9 +304,22 @@ def tiny_test_config() -> PipelineConfig:
                           muse=MuseConfig(sample_iterations=4))
 
 
+def nuscenes_ar_tpu_config() -> PipelineConfig:
+    """nuscenes_ar with MXU-aligned 128-token sparse blocks: same
+    window+similarity sparsity family, but block granularity matched to
+    the TPU tile so the Pallas kernel's tile skipping pays off (~2x over
+    dense at density 0.25 — ops/pallas/block_sparse.py). Layouts are
+    runtime-sampled artifacts in the reference, so the block size is a
+    free hardware choice, not checkpoint state."""
+    cfg = nuscenes_ar_config()
+    return dataclasses.replace(
+        cfg, transformer=cfg.transformer.replace(sparse_block_size=128))
+
+
 PRESETS = {
     "argoverse_muse": argoverse_muse_config,
     "nuscenes_ar": nuscenes_ar_config,
+    "nuscenes_ar_tpu": nuscenes_ar_tpu_config,
     "tiny_test": tiny_test_config,
 }
 

@@ -126,8 +126,8 @@ def prefill(params: Dict, cfg: MultiViewConfig, static: ARStatic):
                if static.bias_rows is not None else 0.0)
 
     x = static.cond_emb
-    k_cache = jnp.zeros((cfg.num_layers, b, H, L, dh), x.dtype)
-    v_cache = jnp.zeros((cfg.num_layers, b, H, L, dh), x.dtype)
+    k_cache = []
+    v_cache = []
     scale = 1.0 / float(np.sqrt(dh))
 
     for i in range(cfg.num_layers):
@@ -146,12 +146,13 @@ def prefill(params: Dict, cfg: MultiViewConfig, static: ARStatic):
         attn = attn.transpose(0, 2, 1, 3).reshape(b, nc, cfg.hidden_size)
         x = xn + attn
         x = x + _mlp(blk, x)
-        k_cache = k_cache.at[i, :, :, :nc].set(k)
-        v_cache = v_cache.at[i, :, :, :nc].set(v)
+        pad = ((0, 0), (0, 0), (0, L - nc), (0, 0))
+        k_cache.append(jnp.pad(k, pad))
+        v_cache.append(jnp.pad(v, pad))
 
     last = _ln(p["ln_f"], x[:, -1])
     logits0 = last @ p["head"]["kernel"]
-    return k_cache, v_cache, logits0.astype(jnp.float32)
+    return tuple(k_cache), tuple(v_cache), logits0.astype(jnp.float32)
 
 
 def _mlp(blk, x):
@@ -190,19 +191,21 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
         q = _dense(blk["query"], xn).reshape(b, 1, H, dh).transpose(0, 2, 1, 3)
         k = _dense(blk["key"], xn).reshape(b, H, dh)
         v = _dense(blk["value"], xn).reshape(b, H, dh)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[None, :, :, None, :].astype(k_cache.dtype),
-            (i, 0, 0, s, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[None, :, :, None, :].astype(v_cache.dtype),
-            (i, 0, 0, s, 0))
+        k_i = jax.lax.dynamic_update_slice(
+            k_cache[i], k[:, :, None, :].astype(k_cache[i].dtype),
+            (0, 0, s, 0))
+        v_i = jax.lax.dynamic_update_slice(
+            v_cache[i], v[:, :, None, :].astype(v_cache[i].dtype),
+            (0, 0, s, 0))
+        k_cache = k_cache[:i] + (k_i,) + k_cache[i + 1:]
+        v_cache = v_cache[:i] + (v_i,) + v_cache[i + 1:]
         scores = jnp.einsum("bhd,bhjd->bhj", q[:, :, 0].astype(jnp.float32),
-                            k_cache[i].astype(jnp.float32))   # (b,H,L)
+                            k_i.astype(jnp.float32))   # (b,H,L)
         scores = (scores + bias_row) * scale
         scores = jnp.where(mask_row[None], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("bhj,bhjd->bhd", probs,
-                          v_cache[i].astype(jnp.float32)).astype(x.dtype)
+                          v_i.astype(jnp.float32)).astype(x.dtype)
         attn = attn.reshape(b, 1, cfg.hidden_size)
         x = xn + attn
         x = x + _mlp(blk, x)

@@ -245,10 +245,12 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
     labels = jnp.where(mask, tokens, -1)
     x = jnp.where(mask, mask_id, tokens).astype(jnp.int32)
 
+    r_do1, r_do2, rng = jax.random.split(rng, 3)
     cond_keep = jax.random.uniform(r_drop, (b,)) >= muse.cond_drop_prob
     out: TransformerOutput = model.apply(
         params, x, cond_ids, intrinsics_inv, extrinsics_inv,
-        cond_keep=cond_keep, deterministic=False)
+        cond_keep=cond_keep, deterministic=False,
+        rngs={"dropout": r_do1})
     ce = masked_cross_entropy(out.logits, labels)
 
     if not muse.self_token_critic:
@@ -263,6 +265,7 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
     critic_logits = model.apply(
         params, critic_input, cond_ids, intrinsics_inv, extrinsics_inv,
         cond_keep=cond_keep2, deterministic=False,
+        rngs={"dropout": r_do2},
         method=MaskGit.critic_logits).astype(jnp.float32)
 
     bce = jnp.mean(

@@ -61,12 +61,18 @@ def l2norm(t, eps=1e-12):
 
 class CosineAttention(nn.Module):
     """Cosine-sim attention with null-KV and optional additive bias
-    (muse_maskgit_pytorch.py:90-169)."""
+    (muse_maskgit_pytorch.py:90-169).
+
+    On TPU the softmax(qk*scale + bias)v core runs through the fused
+    Pallas kernel (ops/pallas/fused_attention.py) — the shared camera
+    bias is read once per q-tile instead of materializing (B,H,N,M)
+    fp32 scores in HBM. use_fused=None auto-selects by backend."""
     dim: int
     dim_head: int = 64
     heads: int = 8
     scale: float = 8.0
     dtype: Dtype = jnp.float32
+    use_fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, attn_bias=None):
@@ -103,21 +109,33 @@ class CosineAttention(nn.Module):
         qf = (l2norm(q) * q_scale).astype(self.dtype)
         kf = (l2norm(k) * k_scale).astype(self.dtype)
 
-        sim = jnp.einsum("bhid,bhjd->bhij", qf, kf,
-                         preferred_element_type=jnp.float32) * self.scale
+        # null-kv-padded shared bias (muse_maskgit_pytorch.py:155)
+        bias = (jnp.pad(attn_bias.astype(jnp.float32), ((0, 0), (1, 0)))
+                if attn_bias is not None else None)
 
-        if attn_bias is not None:
-            # pad a zero column for the null kv (muse_maskgit_pytorch.py:155)
-            bias = jnp.pad(attn_bias.astype(jnp.float32), ((0, 0), (1, 0)))
-            sim = sim + bias[None, None]
-
-        if context_mask is not None:
-            cm = jnp.pad(context_mask, ((0, 0), (1, 0)), constant_values=True)
-            sim = jnp.where(cm[:, None, None, :], sim, NEG_INF)
-
-        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(self.dtype),
-                         preferred_element_type=jnp.float32)
+        use_fused = (self.use_fused if self.use_fused is not None
+                     else jax.default_backend() == "tpu")
+        if use_fused:
+            # context_mask is per-sample constant by construction (CFG
+            # cond-drop, transformer.py) -> a single keep flag; the null
+            # column stays visible inside the kernel.
+            from bevgen_tpu.ops.pallas.fused_attention import (
+                make_fused_attention)
+            keep = context_mask[:, 0] if context_mask is not None else None
+            fused = make_fused_attention(sm_scale=self.scale)
+            out = fused(qf, kf, v.astype(self.dtype), bias, keep)
+        else:
+            sim = jnp.einsum("bhid,bhjd->bhij", qf, kf,
+                             preferred_element_type=jnp.float32) * self.scale
+            if bias is not None:
+                sim = sim + bias[None, None]
+            if context_mask is not None:
+                cm = jnp.pad(context_mask, ((0, 0), (1, 0)),
+                             constant_values=True)
+                sim = jnp.where(cm[:, None, None, :], sim, NEG_INF)
+            attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(self.dtype),
+                             preferred_element_type=jnp.float32)
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, n, inner)
         return dense(self.dim, "to_out")(out)
 

@@ -98,15 +98,13 @@ def shard_params(params, mesh: Mesh):
 
 
 def zero_pspec(leaf) -> P:
-    """Shard a moment tensor over dp along its largest divisible axis."""
+    """Shard a moment tensor over dp along its largest axis (divisibility
+    is checked by the caller, which drops the annotation otherwise)."""
     if leaf.ndim == 0:
         return P()
-    order = np.argsort(leaf.shape)[::-1]
     dims = [None] * leaf.ndim
-    for ax in order:
-        dims[int(ax)] = "dp"
-        return P(*dims)
-    return P()
+    dims[int(np.argmax(leaf.shape))] = "dp"
+    return P(*dims)
 
 
 def opt_state_shardings(opt_state, mesh: Mesh):

@@ -25,16 +25,52 @@ def parse_argv(argv=None) -> Dict[str, str]:
     return out
 
 
+def load_yaml_config(path: str) -> PipelineConfig:
+    """YAML pipeline config (bevgen_tpu/configs/*.yaml): an optional
+    `preset` base plus nested field overrides."""
+    import yaml
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    preset = data.pop("preset", "argoverse_muse")
+    cfg = PRESETS[preset]()
+
+    def flatten(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            key = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(flatten(v, key))
+            else:
+                out[key] = tuple(v) if isinstance(v, list) else v
+        return out
+
+    return apply_overrides(cfg, flatten(data))
+
+
 def build_config(args: Dict[str, str],
                  default_preset: str = "argoverse_muse"
                  ) -> Tuple[PipelineConfig, Dict[str, str]]:
-    """Pop config-related keys from args, return (config, leftover)."""
+    """Pop config-related keys from args, return (config, leftover).
+    `config=<file.yaml>` loads a YAML config; `preset=` picks a named
+    python preset; dotted keys override either."""
     args = dict(args)
+    yaml_path = args.pop("config", None)
+    if yaml_path:
+        cfg = load_yaml_config(yaml_path)
+        preset = args.pop("preset", None)
+        if preset:
+            raise SystemExit("pass either config= or preset=, not both")
+        return _apply_cli_overrides(cfg, args)
     preset = args.pop("preset", default_preset)
     if preset not in PRESETS:
         raise SystemExit(f"unknown preset {preset!r}; "
                          f"choose from {sorted(PRESETS)}")
     cfg = PRESETS[preset]()
+    return _apply_cli_overrides(cfg, args)
+
+
+def _apply_cli_overrides(cfg: PipelineConfig, args: Dict[str, str]
+                         ) -> Tuple[PipelineConfig, Dict[str, str]]:
     cfg_overrides = {}
     passthrough = {}
     import dataclasses

@@ -64,6 +64,19 @@ def main(argv=None):
     elif mode == "decode":
         fn = jax.jit(lambda p, c, r: generate(model, p, c, ii, ei, r))
         run = lambda: fn(params, cond, key)
+    elif mode in ("ar_decode", "ar_decode_full"):
+        from bevgen_tpu.models.stage2 import ar as ar_mod
+        from bevgen_tpu.models.stage2.ar_cached import ar_sample_cached
+        from bevgen_tpu.models.stage2.gpt import SparseGPT
+        gpt = SparseGPT(tf, dtype=jnp.bfloat16)
+        gparams = gpt.init(jax.random.PRNGKey(0), tokens, cond, ii, ei)
+        if mode == "ar_decode":
+            fn = jax.jit(lambda c, r: ar_sample_cached(
+                gpt, gparams, c, ii, ei, r, top_k=100))
+        else:
+            fn = jax.jit(lambda c, r: ar_mod.ar_sample(
+                gpt, gparams, c, ii, ei, r, top_k=100))
+        run = lambda: fn(cond, key)
     else:
         raise SystemExit(f"unknown mode {mode}")
 

@@ -161,3 +161,28 @@ def test_tokenizer_bpe_mechanics(tmp_path):
     assert len(ids) > 0
     back = tok.decode(ids)
     assert "hello" in back
+
+
+def test_yaml_config_loading():
+    from bevgen_tpu.scripts.cli import build_config, load_yaml_config
+    cfg = load_yaml_config("bevgen_tpu/configs/argoverse_muse.yaml")
+    assert cfg.transformer.num_layers == 14
+    assert cfg.transformer.cam_res == (256, 256)
+    assert cfg.batch_size == 16
+    cfg2, left = build_config({
+        "config": "bevgen_tpu/configs/nuscenes_ar.yaml",
+        "transformer.num_layers": "4", "extra": "x"})
+    assert cfg2.transformer.num_layers == 4
+    assert cfg2.transformer.num_cams == 6
+    assert left == {"extra": "x"}
+
+
+def test_cli_parse_and_preset_errors():
+    from bevgen_tpu.scripts.cli import build_config, parse_argv
+    args = parse_argv(["preset=tiny_test", "muse.sample_iterations=5"])
+    cfg, left = build_config(args)
+    assert cfg.muse.sample_iterations == 5 and not left
+    with pytest.raises(SystemExit):
+        build_config({"preset": "nope"})
+    with pytest.raises(SystemExit):
+        parse_argv(["notkeyvalue"])
