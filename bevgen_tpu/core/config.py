@@ -141,6 +141,11 @@ class MultiViewConfig:
     # runtime rank-0 broadcast, sparse_self_attention.py:48-52, with a
     # deterministic artifact — SURVEY §5.8)
     layout_seed: int = 0
+    # rematerialize transformer blocks in the backward pass
+    # (jax.checkpoint): trades ~30% extra FLOPs for O(layers) less
+    # activation memory — the TPU-native replacement for activation
+    # checkpointing knobs
+    remat: bool = False
 
     def __post_init__(self):
         assert self.dataset in DATASETS, self.dataset

@@ -63,6 +63,19 @@ def codebook_lookup(indices: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(codebook, indices, axis=0)
 
 
+def codebook_stats(indices: jnp.ndarray, n_embed: int):
+    """Usage histogram, perplexity and active-code fraction — the
+    latent-code observability the reference logs as histograms
+    (SURVEY §5.5)."""
+    counts = jnp.bincount(indices.reshape(-1), length=n_embed)
+    probs = counts / jnp.maximum(counts.sum(), 1)
+    entropy = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs), 0.0))
+    return {
+        "codebook_perplexity": jnp.exp(entropy),
+        "codebook_usage": jnp.mean((counts > 0).astype(jnp.float32)),
+    }
+
+
 # ---------------------------------------------------------------------------
 # variant quantizers (reference quantize.py:110-209, :331-444 — used by
 # the GumbelVQ / EMAVQ model variants)

@@ -247,19 +247,22 @@ class MultiViewTransformer(nn.Module):
             cross_bias = bias[nc:, :nc]
 
         # ---- transformer blocks (muse_maskgit_pytorch.py:171-202) ----
+        Attn = nn.remat(CosineAttention) if cfg.remat else CosineAttention
+        FF = (nn.remat(GEGLUFeedForward) if cfg.remat
+              else GEGLUFeedForward)
         for layer in range(cfg.num_layers):
-            x = x + CosineAttention(dim, cfg.dim_head, cfg.num_heads,
-                                    dtype=self.dtype,
-                                    name=f"layers_{layer}_attn")(
-                                        x, attn_bias=self_bias)
-            x = x + CosineAttention(dim, cfg.dim_head, cfg.num_heads,
-                                    dtype=self.dtype,
-                                    name=f"layers_{layer}_cross_attn")(
-                                        x, context=context,
-                                        context_mask=context_mask,
-                                        attn_bias=cross_bias)
-            x = x + GEGLUFeedForward(dim, cfg.ff_mult, dtype=self.dtype,
-                                     name=f"layers_{layer}_ff")(x)
+            x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
+                         dtype=self.dtype,
+                         name=f"layers_{layer}_attn")(
+                             x, attn_bias=self_bias)
+            x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
+                         dtype=self.dtype,
+                         name=f"layers_{layer}_cross_attn")(
+                             x, context=context,
+                             context_mask=context_mask,
+                             attn_bias=cross_bias)
+            x = x + FF(dim, cfg.ff_mult, dtype=self.dtype,
+                       name=f"layers_{layer}_ff")(x)
         embed = LayerNormG(self.dtype, name="final_norm")(x)
 
         logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype,

@@ -171,3 +171,35 @@ def test_ema_quantize_updates_codebook():
     # cluster 3 grew, codebook row 3 moved toward the data
     assert float(new_cluster[3]) > float(new_cluster[0])
     assert np.isfinite(np.asarray(new_cb)).all()
+
+
+def test_codebook_stats():
+    idx = jnp.asarray([0, 0, 1, 2, 3, 3, 3, 3])
+    stats = vq.codebook_stats(idx, n_embed=8)
+    assert 0.49 < float(stats["codebook_usage"]) < 0.51  # 4 of 8 used
+    assert 1.0 < float(stats["codebook_perplexity"]) <= 4.0
+
+
+def test_remat_flag_preserves_outputs():
+    from bevgen_tpu.core.config import MultiViewConfig
+    from bevgen_tpu.models.stage2.transformer import MultiViewTransformer
+    from bevgen_tpu.models import geometry
+    base = dict(num_layers=1, num_heads=2, num_embed=32, hidden_size=32,
+                dim_head=16, vocab_size=16, cond_vocab_size=16, num_cams=3,
+                cam_names="ARGOVERSE_FRONT_CAMERAS", dataset="argoverse",
+                cam_res=(16, 16), cam_latent_res=(2, 2), bev_latent_res=(2, 2),
+                window_len=2, camera_bias=False, bev_embed=False)
+    cfg_a = MultiViewConfig(**base)
+    cfg_b = MultiViewConfig(**base, remat=True)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 16, (1, 3, 4)), jnp.int32)
+    cond = jnp.asarray(rng.integers(0, 16, (1, 4)), jnp.int32)
+    intr, extr = geometry.canonical_camera_rig(cfg_a)
+    ii = jnp.asarray(np.linalg.inv(intr)[None], jnp.float32)
+    ei = jnp.asarray(np.linalg.inv(extr)[None], jnp.float32)
+    m_a, m_b = MultiViewTransformer(cfg_a), MultiViewTransformer(cfg_b)
+    p = m_a.init(jax.random.PRNGKey(0), ids, cond, ii, ei)
+    out_a = m_a.apply(p, ids, cond, ii, ei).logits
+    out_b = m_b.apply(p, ids, cond, ii, ei).logits
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-6)

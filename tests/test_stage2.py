@@ -194,3 +194,31 @@ def test_cosine_attention_matches_torch_reference():
     o = o.permute(0, 2, 1, 3).reshape(1, 6, 64)
     ref = o @ torch.tensor(np.asarray(p["to_out"]["kernel"]))
     np.testing.assert_allclose(out, ref.detach().numpy(), atol=2e-5)
+
+
+def test_generate_mask_schedule_matches_reference_formula():
+    """Reference: num_masked[t] = max(int(cos(linspace(0,1,T)[t]*pi/2)
+    * seq_len), 1) (muse_maskgit_pytorch.py:564-567)."""
+    T, hw = 18, 256
+    ts = np.linspace(0.0, 1.0, T)
+    ours = np.maximum((np.cos(ts * np.pi / 2) * hw).astype(np.int64), 1)
+    ref = [max(int(np.cos(t * np.pi / 2) * hw), 1) for t in ts]
+    np.testing.assert_array_equal(ours, ref)
+    assert ours[0] == hw and ours[-1] == 1
+
+
+def test_cross_attention_uses_img_cond_bias_slice(model_and_params):
+    """The cross-attn bias must be the [img, cond] block: zeroing the
+    bev-similarity block of the bias changes logits."""
+    cfg, model, params, (ids, cond, ii, ei) = model_and_params
+    base = model.apply(params, ids, cond, ii, ei).logits
+    # double the learned camera_bias param's cond-column block only
+    import jax
+    p2 = jax.tree_util.tree_map(lambda x: x, params)
+    cbe = np.array(p2["params"]["camera_bias_emb"])
+    rng = np.random.default_rng(0)
+    nc = cfg.num_cond_tokens
+    cbe[nc:, :nc] += rng.standard_normal(cbe[nc:, :nc].shape)
+    p2["params"]["camera_bias_emb"] = jnp.asarray(cbe)
+    out2 = model.apply(p2, ids, cond, ii, ei).logits
+    assert np.abs(np.asarray(out2) - np.asarray(base)).max() > 1e-6
