@@ -38,6 +38,8 @@ def main(argv=None):
     # batch_size is a PipelineConfig field, so `batch_size=N` lands in cfg
     batch_size = cfg.batch_size if cfg.batch_size > 1 else 8
     tokens_dir = args.pop("tokens_dir", None)
+    val_tokens_dir = args.pop("val_tokens_dir", None)
+    eval_every = int(args.pop("eval_every", 0))
     base_lr = float(args.pop("base_lr", 1e-4))
     warmup = int(args.pop("warmup_steps", 500))
     ckpt_dir = args.pop("ckpt_dir", None)
@@ -107,6 +109,34 @@ def main(argv=None):
     mgr = CheckpointManager(ckpt_dir, ckpt_minutes) if ckpt_dir else None
     rng = jax.random.PRNGKey(seed + 1)
 
+    # validation: mean masked-CE over a held-out token set
+    val_batches = None
+    if val_tokens_dir and eval_every:
+        from bevgen_tpu.data.tokens import TokenDataset
+        from bevgen_tpu.models.stage2.maskgit import maskgit_loss
+        vds = TokenDataset(val_tokens_dir)
+        vloader = dm.DataLoader(vds, batch_size, shuffle=False,
+                                num_workers=0)
+
+        @jax.jit
+        def val_loss(params, batch, vrng):
+            out = maskgit_loss(model, params, vrng, batch["tokens"],
+                               batch["cond_ids"], batch["intrinsics_inv"],
+                               batch["extrinsics_inv"])
+            return out.ce_loss
+
+        def run_validation(params):
+            losses, vrng = [], jax.random.PRNGKey(0)
+            for vb in vloader:
+                vb.pop("sample_token", None)
+                vb["tokens"] = vb["tokens"].reshape(
+                    -1, tf.num_cams, tf.num_cam_tokens)
+                vrng, k = jax.random.split(vrng)
+                losses.append(float(val_loss(
+                    params, {kk: jnp.asarray(v) for kk, v in vb.items()}, k)))
+            return float(np.mean(losses)) if losses else float("nan")
+        val_batches = run_validation
+
     t0 = time.perf_counter()
     with mesh:
         for i in range(steps):
@@ -121,6 +151,10 @@ def main(argv=None):
             if mgr is not None:
                 mgr.save_step(i + 1, jax.tree_util.tree_map(
                     np.asarray, state.params))
+            if val_batches is not None and (i + 1) % eval_every == 0:
+                print(json.dumps({"step": i + 1,
+                                  "val_ce": round(val_batches(state.params),
+                                                  4)}))
     if mgr is not None:
         mgr.save_step(steps, jax.tree_util.tree_map(np.asarray, state.params),
                       force=True)

@@ -36,11 +36,16 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 
 def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
-                    ema_decay: float = 0.9999):
+                    ema_decay: float = 0.9999,
+                    skip_nonfinite: bool = True):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: dict with tokens (b,cam,hw) int32, cond_ids (b,nc) int32,
     intrinsics_inv (b,cam,3,3), extrinsics_inv (b,cam,4,4).
+
+    skip_nonfinite: drop the update when the loss/grads are non-finite
+    and keep the previous state — the bf16 analogue of DeepSpeed's
+    fp16 loss-scale NaN retry (README.md:109), without the retry loop.
     """
     def loss_fn(variables_params, variables_rest, rng, batch):
         variables = {"params": variables_params, **variables_rest}
@@ -55,15 +60,27 @@ def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
         rng = jax.random.fold_in(rng, state.step)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, rest, rng, batch)
+        grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, params)
-        params = optax.apply_updates(params, updates)
-        ema = optim.ema_update(state.ema, params, ema_decay)
+        new_params = optax.apply_updates(params, updates)
+        if skip_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_params, params)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: (jnp.where(ok, new, old)
+                                  if hasattr(new, "shape") else new),
+                opt_state, state.opt_state)
+        else:
+            ok = jnp.bool_(True)
+        ema = optim.ema_update(state.ema, new_params, ema_decay)
         new_state = TrainState(step=state.step + 1,
-                               params={"params": params, **rest},
+                               params={"params": new_params, **rest},
                                opt_state=opt_state, ema=ema)
         metrics = {"loss": loss, "ce_loss": aux.ce_loss,
                    "critic_loss": aux.critic_loss,
-                   "grad_norm": optax.global_norm(grads)}
+                   "grad_norm": grad_norm,
+                   "update_applied": ok.astype(jnp.float32)}
         return new_state, metrics
 
     return train_step

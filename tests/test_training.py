@@ -98,3 +98,57 @@ def test_hinge_and_vanilla_d_loss():
 def test_adopt_weight_gate():
     assert float(losses.adopt_weight(1.0, jnp.int32(5), 10)) == 0.0
     assert float(losses.adopt_weight(1.0, jnp.int32(15), 10)) == 1.0
+
+
+def test_sharded_step_skips_nonfinite_update():
+    """Injecting a NaN into the batch must leave params unchanged
+    (update_applied=0) — the bf16 analogue of DeepSpeed's NaN retry."""
+    import jax.numpy as jnp
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.models import geometry
+    from bevgen_tpu.models.stage2.maskgit import MaskGit
+    from bevgen_tpu.training import optim as topt
+    from bevgen_tpu.training import trainer
+
+    cfg = tiny_test_config()
+    tf = cfg.transformer
+    model = MaskGit(tf, cfg.muse)
+    rng = np.random.default_rng(0)
+    b = 2
+    tokens = jnp.asarray(rng.integers(0, tf.vocab_size,
+                                      (b, tf.num_cams, tf.num_cam_tokens)),
+                         jnp.int32)
+    cond = jnp.asarray(rng.integers(0, tf.cond_vocab_size,
+                                    (b, tf.num_cond_tokens)), jnp.int32)
+    intr, extr = geometry.canonical_camera_rig(tf)
+    ii = jnp.asarray(np.broadcast_to(np.linalg.inv(intr)[None],
+                                     (b, tf.num_cams, 3, 3)), jnp.float32)
+    ei = jnp.asarray(np.broadcast_to(np.linalg.inv(extr)[None],
+                                     (b, tf.num_cams, 4, 4)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, cond, ii, ei,
+                        method=MaskGit.init_all)
+    tx = topt.maskgit_optimizer(1e-3, warmup_steps=1, total_steps=10,
+                                params_example=params["params"])
+    state = trainer.create_train_state(params, tx)
+    step = jax.jit(trainer.make_train_step(model, tx))
+
+    bad = {"tokens": tokens, "cond_ids": cond,
+           "intrinsics_inv": ii * jnp.nan, "extrinsics_inv": ei}
+    before = np.asarray(
+        state.params["params"]["transformer"]["token_emb"]["embedding"])
+    state2, metrics = step(state, bad, jax.random.PRNGKey(1))
+    assert float(metrics["update_applied"]) == 0.0
+    after = np.asarray(
+        state2.params["params"]["transformer"]["token_emb"]["embedding"])
+    np.testing.assert_array_equal(before, after)
+
+    good = {"tokens": tokens, "cond_ids": cond,
+            "intrinsics_inv": ii, "extrinsics_inv": ei}
+    # two good steps (warmup lr at optimizer-count 0 is 0)
+    state3, metrics = step(state2, good, jax.random.PRNGKey(2))
+    assert float(metrics["update_applied"]) == 1.0
+    state4, metrics = step(state3, good, jax.random.PRNGKey(4))
+    assert float(metrics["update_applied"]) == 1.0
+    changed = np.asarray(
+        state4.params["params"]["transformer"]["token_emb"]["embedding"])
+    assert np.abs(changed - after).max() > 0
