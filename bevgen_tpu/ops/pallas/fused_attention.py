@@ -70,16 +70,16 @@ def _pad_to(x, size, axis):
 
 def fused_bias_attention_fwd(q, k, v, bias=None, keep=None,
                              sm_scale: float = 1.0, tile: int = 128,
-                             head_group: int = 8,
+                             head_group: int = 8, tile_q: int = 128,
                              interpret: bool = False):
     """q: (B, H, N, D); k, v: (B, H, M, D) (null KV already included at
     column 0 if used); bias: (N, M) fp32 shared or None; keep: (B,)
     bool/int or None. Returns (B, H, N, D)."""
     B, H, N, D = q.shape
     M = k.shape[2]
-    Np = math.ceil(N / tile) * tile
+    Np = math.ceil(N / tile_q) * tile_q
     Mp = math.ceil(M / tile) * tile
-    nq = Np // tile
+    nq = Np // tile_q
     hg = math.gcd(head_group, H)
     G = H // hg
 
@@ -94,7 +94,7 @@ def fused_bias_attention_fwd(q, k, v, bias=None, keep=None,
         biasp = _pad_to(_pad_to(jnp.asarray(bias, jnp.float32)[None],
                                 Mp, 2), Np, 1)
     else:
-        biasp = jnp.zeros((1, tile, Mp), jnp.float32)
+        biasp = jnp.zeros((1, tile_q, Mp), jnp.float32)
     keep_arr = (jnp.ones((B,), jnp.int32) if keep is None
                 else jnp.asarray(keep).astype(jnp.int32))
 
@@ -102,14 +102,14 @@ def fused_bias_attention_fwd(q, k, v, bias=None, keep=None,
         num_scalar_prefetch=1,
         grid=(B * G, nq),
         in_specs=[
-            pl.BlockSpec((1, hg, tile, D), lambda g, qi, kk: (g, 0, qi, 0)),
+            pl.BlockSpec((1, hg, tile_q, D), lambda g, qi, kk: (g, 0, qi, 0)),
             pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
             pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
-            (pl.BlockSpec((1, tile, Mp), lambda g, qi, kk: (0, qi, 0))
+            (pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, qi, 0))
              if has_bias else
-             pl.BlockSpec((1, tile, Mp), lambda g, qi, kk: (0, 0, 0))),
+             pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, 0, 0))),
         ],
-        out_specs=pl.BlockSpec((1, hg, tile, D),
+        out_specs=pl.BlockSpec((1, hg, tile_q, D),
                                lambda g, qi, kk: (g, 0, qi, 0)),
     )
     out = pl.pallas_call(
