@@ -169,16 +169,20 @@ class ArgoverseDataset:
 
         self.table = table
         self._calib_cache: Dict[str, Dict] = {}
+        import threading
+        self._calib_lock = threading.Lock()
         print(f"ArgoverseDataset[{split}]: {len(self)} samples")
 
     def __len__(self):
         return len(self.table)
 
     def calibration(self, log_id: str) -> Dict:
-        if log_id not in self._calib_cache:
-            self._calib_cache[log_id] = load_calibration(
-                self.sensor_dir / log_id)
-        return self._calib_cache[log_id]
+        # loader worker threads share this cache
+        with self._calib_lock:
+            if log_id not in self._calib_cache:
+                self._calib_cache[log_id] = load_calibration(
+                    self.sensor_dir / log_id)
+            return self._calib_cache[log_id]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         row = self.table.iloc[idx]

@@ -17,9 +17,38 @@ import numpy as np
 from bevgen_tpu.scripts import cli
 
 
+def load_pairs_nuscenes(root: Path, max_samples=None):
+    """Flat gen/ gt/ layout (<token>_<cam>.jpg) — the reference's
+    nuScenes mode (metrics_eval.py:52-74)."""
+    import cv2
+    gens, gts, scenes = [], [], []
+    files = sorted((root / "gen").glob("*.jpg"))
+    if max_samples:
+        files = files[:max_samples]
+    by_scene = {}
+    for f in files:
+        gt_f = root / "gt" / f.name
+        if not gt_f.exists():
+            continue
+        g = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB
+                         ).astype(np.float32) / 255.0
+        t = cv2.cvtColor(cv2.imread(str(gt_f)), cv2.COLOR_BGR2RGB
+                         ).astype(np.float32) / 255.0
+        gens.append(g)
+        gts.append(t)
+        tok, _, cam = f.stem.rpartition("_")
+        by_scene.setdefault(tok, ({}, {}))
+        by_scene[tok][0][cam] = g
+        by_scene[tok][1][cam] = t
+    scenes = list(by_scene.values())
+    return np.stack(gens), np.stack(gts), scenes
+
+
 def load_pairs(root: Path, max_samples=None):
     """Matched (gen, gt) image arrays + per-sample cam dicts."""
     import cv2
+    if not (root / "sample").exists() and (root / "gen").exists():
+        return load_pairs_nuscenes(root, max_samples)
     gen_root, gt_root = root / "sample", root / "sample_gt"
     tokens = sorted(p.name for p in gen_root.iterdir() if p.is_dir())
     if max_samples:

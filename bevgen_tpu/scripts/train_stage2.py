@@ -104,6 +104,18 @@ def main(argv=None):
                                  total_steps=steps,
                                  params_example=params["params"])
     state = trainer.create_train_state(params, tx)
+
+    # resume: restore the latest params checkpoint if present
+    if ckpt_dir:
+        from bevgen_tpu.training.checkpoints import CheckpointManager as _CM
+        probe = _CM(ckpt_dir, ckpt_minutes)
+        restored = probe.restore_latest(
+            jax.tree_util.tree_map(np.asarray, state.params))
+        if restored is not None:
+            state = state._replace(params=jax.tree_util.tree_map(
+                jnp.asarray, restored))
+            print(f"resumed params from {probe.latest()}")
+
     step_fn, state = trainer.make_sharded_train_step(model, tx, mesh, state)
 
     mgr = CheckpointManager(ckpt_dir, ckpt_minutes) if ckpt_dir else None

@@ -28,14 +28,15 @@ class CheckpointManager:
         self.keep_last = keep_last
         self._last_save = time.monotonic()
 
-    def _save(self, tag: str, state: Any):
+    def _save(self, tag: str, state: Any, update_latest: bool = True):
         path = self.dir / tag
         if path.exists():
             import shutil
             shutil.rmtree(path)
         tree = jax.tree_util.tree_map(np.asarray, state)
         ckpt_io.save_checkpoint(str(path), tree)
-        (self.dir / "LATEST").write_text(tag)
+        if update_latest:
+            (self.dir / "LATEST").write_text(tag)
 
     def save_step(self, step: int, state: Any, force: bool = False):
         """Wall-clock-interval save (the 30-min ModelCheckpoint)."""
@@ -52,7 +53,9 @@ class CheckpointManager:
         self._prune()
 
     def save_ema(self, step: int, ema_params: Any):
-        self._save(f"step_{step:08d}-EMA", ema_params)
+        # EMA variants never own the resume pointer (LATEST must stay a
+        # full params tree)
+        self._save(f"step_{step:08d}-EMA", ema_params, update_latest=False)
 
     def _prune(self):
         tags = sorted(p.name for p in self.dir.iterdir()
