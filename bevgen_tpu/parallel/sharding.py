@@ -18,7 +18,7 @@ forward (XLA re-gathers moments only inside the optimizer update).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np

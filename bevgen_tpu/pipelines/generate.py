@@ -8,7 +8,6 @@ a batch. The reference instead crosses the python/framework boundary
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax

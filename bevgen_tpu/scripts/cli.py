@@ -9,7 +9,7 @@ scripts pop for themselves.
 from __future__ import annotations
 
 import sys
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 from bevgen_tpu.core.config import PRESETS, PipelineConfig, apply_overrides
 

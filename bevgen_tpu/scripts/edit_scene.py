@@ -16,8 +16,6 @@ With no base sample, starts from an empty drivable-area scene.
 from __future__ import annotations
 
 import json
-from pathlib import Path
-
 import numpy as np
 
 from bevgen_tpu.scripts import cli
@@ -26,7 +24,6 @@ from bevgen_tpu.scripts import cli
 def apply_edits(cuboids, edits):
     """cuboids: list of (category, (4,3) ego footprint). Edits:
     {"op": add/remove, ...}; remove drops by index."""
-    from bevgen_tpu.scripts.preprocess import quat_to_rot
     out = list(cuboids)
     for e in edits:
         if e["op"] == "add":

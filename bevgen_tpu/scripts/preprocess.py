@@ -17,7 +17,7 @@ import json
 import multiprocessing as mp
 from functools import partial
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -8,7 +8,6 @@ checkpoints (ema.py:94-146) and the three-level load order
 """
 from __future__ import annotations
 
-import json
 import time
 from pathlib import Path
 from typing import Any, Optional

@@ -10,7 +10,7 @@ BCE-with-logits + codebook loss (losses/segmentation.py:11).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ updates. The BEV segmentation model uses the single-optimizer BCE path
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

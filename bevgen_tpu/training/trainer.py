@@ -9,8 +9,7 @@ fp32's exponent range — SURVEY §7 hard-part 6).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ from __future__ import annotations
 import random
 import string
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 
