@@ -42,6 +42,8 @@ def main(argv=None):
     perceptual_npz = args.pop("perceptual_weights", None)
     ckpt_dir = args.pop("ckpt_dir", None)
     log_every = int(args.pop("log_every", 20))
+    image_every = int(args.pop("image_every", 0))
+    run_dir = args.pop("run_dir", "output/stage1")
     seed = int(args.pop("seed", cfg.seed))
     if args:
         print(f"[train_stage1] ignoring unknown args: {sorted(args)}")
@@ -114,6 +116,26 @@ def main(argv=None):
             m = {k: round(float(v), 4) for k, v in metrics.items()}
             m["steps_per_sec"] = round((i + 1) / (time.perf_counter() - t0), 3)
             print(json.dumps({"step": i + 1, **m}))
+        if image_every and (i + 1) % image_every == 0:
+            # reconstruction viz (the reference's log_images,
+            # vqgan.py:177-199 / :244-261)
+            import numpy as _np
+            from bevgen_tpu.utils.image import Im, make_grid
+            from bevgen_tpu.utils.viz import viz_bev
+            from bevgen_tpu.data.camera_geometry import denormalize_image
+            rec, _, _ = model.apply(state.params_ae, x)
+            if which == "cam":
+                panel = make_grid(
+                    [denormalize_image(_np.asarray(a, _np.float32))
+                     for pair in zip(_np.asarray(x), _np.asarray(rec))
+                     for a in pair], nrow=2)
+            else:
+                rec_bin = _np.round(1 / (1 + _np.exp(-_np.asarray(
+                    rec, _np.float32))))
+                panel = make_grid(
+                    [viz_bev(a).np for pair in zip(_np.asarray(x), rec_bin)
+                     for a in pair], nrow=2)
+            Im(panel).save(f"{run_dir}/recon_{i + 1:06d}.png")
         if mgr is not None:
             mgr.save_step(i + 1, jax.tree_util.tree_map(
                 np.asarray, state.params_ae))
