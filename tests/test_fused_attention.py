@@ -85,3 +85,32 @@ def test_transformer_fused_matches_dense_cpu():
     out_a = a_auto.apply(params, x, attn_bias=bias)
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_a),
                                atol=1e-6)
+
+
+def test_pallas_backward_matches_dense_grads():
+    """fused_bias_attention_bwd vs jax.grad of the dense reference —
+    incl. the accumulated dk/dv (revisited over q-tiles) and dbias
+    (revisited over groups)."""
+    B, H, N, M, D = 2, 4, 160, 70, 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, M, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, M, D)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((N, M)).astype(np.float32))
+    keep = jnp.asarray([1, 0], jnp.int32)
+    do = jnp.asarray(rng.standard_normal((B, H, N, D)).astype(np.float32))
+
+    dq, dk, dv, dbias = fa.fused_bias_attention_bwd(
+        q, k, v, bias, keep, do, sm_scale=3.0, head_group=2,
+        interpret=True)
+
+    def loss(q, k, v, bias):
+        out = fa._dense_reference(q, k, v, bias, keep, 3.0)
+        return jnp.sum(out * do)
+
+    rq, rk, rv, rbias = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(rbias),
+                               atol=2e-3)
