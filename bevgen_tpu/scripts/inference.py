@@ -35,7 +35,6 @@ def main(argv=None):
     if args:
         print(f"[inference] ignoring unknown args: {sorted(args)}")
 
-    model = MaskGit(tf, cfg.muse, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(
         0, tf.vocab_size, (batch_size, tf.num_cams, tf.num_cam_tokens)),
@@ -49,34 +48,48 @@ def main(argv=None):
     ei = jnp.asarray(np.broadcast_to(np.linalg.inv(extr)[None],
                                      (batch_size, tf.num_cams, 4, 4)),
                      jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), tokens, cond, ii, ei,
-                        method=MaskGit.init_all)
 
     key = jax.random.PRNGKey(1)
-    if mode == "forward":
-        fn = jax.jit(lambda p, t: model.apply(p, t, cond, ii, ei).logits)
-        run = lambda: fn(params, tokens)
-    elif mode == "train":
-        def loss(p, t, r):
-            return maskgit_loss(model, p, r, t, cond, ii, ei).loss
-        grad_fn = jax.jit(jax.grad(loss))
-        run = lambda: grad_fn(params, tokens, key)
-    elif mode == "decode":
-        fn = jax.jit(lambda p, c, r: generate(model, p, c, ii, ei, r))
-        run = lambda: fn(params, cond, key)
-    elif mode in ("ar_decode", "ar_decode_full"):
+    # NB: params are always ARGUMENTS of the jitted fns — closing over
+    # them inlines hundreds of MB of constants into the program (see
+    # docs/PERF_NOTES.md).
+    if mode in ("forward", "train", "decode"):
+        model = MaskGit(tf, cfg.muse, dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(0), tokens, cond, ii, ei,
+                            method=MaskGit.init_all)
+        if mode == "forward":
+            fn = jax.jit(lambda p, t: model.apply(p, t, cond, ii, ei).logits)
+            run = lambda: fn(params, tokens)
+        elif mode == "train":
+            def loss(p, t, r):
+                return maskgit_loss(model, p, r, t, cond, ii, ei).loss
+            grad_fn = jax.jit(jax.grad(loss))
+            run = lambda: grad_fn(params, tokens, key)
+        else:
+            fn = jax.jit(lambda p, c, r: generate(model, p, c, ii, ei, r))
+            run = lambda: fn(params, cond, key)
+    elif mode in ("ar_train", "ar_decode", "ar_decode_full"):
         from bevgen_tpu.models.stage2 import ar as ar_mod
         from bevgen_tpu.models.stage2.ar_cached import ar_sample_cached
         from bevgen_tpu.models.stage2.gpt import SparseGPT
         gpt = SparseGPT(tf, dtype=jnp.bfloat16)
         gparams = gpt.init(jax.random.PRNGKey(0), tokens, cond, ii, ei)
-        if mode == "ar_decode":
-            fn = jax.jit(lambda c, r: ar_sample_cached(
-                gpt, gparams, c, ii, ei, r, top_k=100))
+        if mode == "ar_train":
+            # fwd+bwd — comparable to the reference's
+            # scripts/inference.py:170-179 density-sweep microbenchmarks
+            def loss(p, t):
+                return ar_mod.ar_loss(gpt, p, t, cond, ii, ei,
+                                      deterministic=True)
+            grad_fn = jax.jit(jax.grad(loss))
+            run = lambda: grad_fn(gparams, tokens)
+        elif mode == "ar_decode":
+            fn = jax.jit(lambda p, c, r: ar_sample_cached(
+                gpt, p, c, ii, ei, r, top_k=100))
+            run = lambda: fn(gparams, cond, key)
         else:
-            fn = jax.jit(lambda c, r: ar_mod.ar_sample(
-                gpt, gparams, c, ii, ei, r, top_k=100))
-        run = lambda: fn(cond, key)
+            fn = jax.jit(lambda p, c, r: ar_mod.ar_sample(
+                gpt, p, c, ii, ei, r, top_k=100))
+            run = lambda: fn(gparams, cond, key)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
