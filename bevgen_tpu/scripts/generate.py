@@ -46,6 +46,9 @@ def main(argv=None):
     limit = int(args.pop("limit_batches", 0))
     layout = args.pop("layout", "argoverse")
     save_rec = args.pop("save_rec", "false").lower() == "true"
+    # partial decoding: keep these cameras' GT tokens fixed and only
+    # regenerate the rest (cond_transformer_multi_view_muse.py:125-132)
+    keep_cameras = [c for c in args.pop("keep_cameras", "").split(",") if c]
     if args:
         print(f"[generate] ignoring unknown args: {sorted(args)}")
 
@@ -66,7 +69,8 @@ def main(argv=None):
                                drop_last=True)
         batches = iter(loader)
 
-    run = jax.jit(pipe.generate_fn)
+    run = jax.jit(lambda p, s, ii, ei, r, init: pipe.generate_fn(
+        p, s, ii, ei, r, init_ids=init))
     writer = GenerationWriter(save_dir, layout=layout)
     rng = jax.random.PRNGKey(seed)
 
@@ -85,9 +89,20 @@ def main(argv=None):
         if limit and i >= limit:
             break
         rng, step_rng = jax.random.split(rng)
+        init_ids = None
+        if keep_cameras and "image" in batch:
+            tf = cfg.transformer
+            gt_tokens = pipe.encode_images(
+                params, jnp.asarray(batch["image"]))      # (b, cam, hw)
+            mask_id = tf.mask_token_id
+            init_ids = jnp.full_like(gt_tokens, mask_id)
+            for c, name in enumerate(tf.camera_names):
+                if name in keep_cameras:
+                    init_ids = init_ids.at[:, c].set(gt_tokens[:, c])
         images, ids = run(params, jnp.asarray(batch["segmentation"]),
                           jnp.asarray(batch["intrinsics_inv"]),
-                          jnp.asarray(batch["extrinsics_inv"]), step_rng)
+                          jnp.asarray(batch["extrinsics_inv"]), step_rng,
+                          init_ids)
         images = np.asarray(images, np.float32)
         rec = (np.asarray(recon(params, jnp.asarray(batch["image"])),
                           np.float32)
