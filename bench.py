@@ -26,14 +26,14 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from bevgen_tpu.core.config import argoverse_muse_config
+    from bevgen_tpu.core.config import argoverse_muse_7cam_config
     from bevgen_tpu.data.fake import fake_batch
     from bevgen_tpu.pipelines.generate import BEVGenPipeline
 
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
-    cfg = argoverse_muse_config()
+    cfg = argoverse_muse_7cam_config()
     pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
     params = pipe.init_params(jax.random.PRNGKey(0))
 
@@ -68,8 +68,9 @@ def main():
     ips = n_images / dt
 
     print(json.dumps({
-        "metric": "multi-cam images/sec/chip (7x256px scene generation, "
-                  "batch 16, 18-step MaskGit + CFG + self-critic + VQ decode)",
+        "metric": "multi-cam images/sec/chip (7-camera 256px scene "
+                  "generation, batch 16, 18-step MaskGit + CFG + "
+                  "self-critic + VQ decode)",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),

@@ -38,6 +38,12 @@ CAMERA_SETS: Dict[str, Tuple[str, ...]] = {
         "ring_side_left", "ring_front_left", "ring_front_center",
         "ring_front_right", "ring_side_right",
     ),
+    # the full AV2 7-camera ring (the BASELINE "7x256px scenes" rig)
+    "ARGOVERSE_RING_CAMERAS": (
+        "ring_rear_left", "ring_side_left", "ring_front_left",
+        "ring_front_center", "ring_front_right", "ring_side_right",
+        "ring_rear_right",
+    ),
 }
 
 DATASETS = ("nuscenes", "argoverse")
@@ -309,6 +315,14 @@ def tiny_test_config() -> PipelineConfig:
                           muse=MuseConfig(sample_iterations=4))
 
 
+def argoverse_muse_7cam_config() -> PipelineConfig:
+    """argoverse_muse scaled to the full 7-camera AV2 ring — the
+    BASELINE.json headline workload ("7x256px scenes")."""
+    cfg = argoverse_muse_config()
+    return dataclasses.replace(cfg, transformer=cfg.transformer.replace(
+        num_cams=7, cam_names="ARGOVERSE_RING_CAMERAS"))
+
+
 def nuscenes_ar_tpu_config() -> PipelineConfig:
     """nuscenes_ar with MXU-aligned 128-token sparse blocks: same
     window+similarity sparsity family, but block granularity matched to
@@ -323,6 +337,7 @@ def nuscenes_ar_tpu_config() -> PipelineConfig:
 
 PRESETS = {
     "argoverse_muse": argoverse_muse_config,
+    "argoverse_muse_7cam": argoverse_muse_7cam_config,
     "nuscenes_ar": nuscenes_ar_config,
     "nuscenes_ar_tpu": nuscenes_ar_tpu_config,
     "tiny_test": tiny_test_config,

@@ -121,7 +121,7 @@ def decode_order(cfg: MultiViewConfig) -> Tuple[np.ndarray, np.ndarray]:
         fwd = np.arange(cfg.num_img_tokens, dtype=np.int64)
         return fwd, np.argsort(fwd)
 
-    if cfg.dataset == "nuscenes":
+    if cfg.dataset == "nuscenes" and cfg.num_cams in (3, 6):
         if cfg.num_cams == 3:
             groups = [("CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT")]
             cam_index = CAMERA_SETS["NUSCENES_ABLATION_CAMERAS"]
@@ -183,6 +183,8 @@ ARGOVERSE_CANONICAL_YAW = {
     "ring_front_right": -2 * np.pi / 7,
     "ring_side_left": 2 * (2 * np.pi / 7),
     "ring_side_right": -2 * (2 * np.pi / 7),
+    "ring_rear_left": 3 * (2 * np.pi / 7),
+    "ring_rear_right": -3 * (2 * np.pi / 7),
 }
 
 

@@ -68,6 +68,19 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, cfgs)
 
 
+def _auto_head_group(H: int, tile_q: int, Mp: int, D: int,
+                     requested: int, budget_bytes: int = 15 << 20) -> int:
+    """Largest head group (divisor of H, <= requested) whose working set
+    (exp/prob score strips f32 + double-buffered K/V bf16) fits the
+    ~16MB VMEM scoped limit with headroom."""
+    per_head = tile_q * Mp * 4 * 2 + 2 * Mp * D * 2 * 2
+    fixed = tile_q * Mp * 4 * 2  # bias strip (double buffered)
+    hg = math.gcd(requested, H)
+    while hg > 1 and hg * per_head + fixed > budget_bytes:
+        hg //= 2
+    return max(hg, 1)
+
+
 def fused_bias_attention_fwd(q, k, v, bias=None, keep=None,
                              sm_scale: float = 1.0, tile: int = 128,
                              head_group: int = 8, tile_q: int = 128,
@@ -80,7 +93,7 @@ def fused_bias_attention_fwd(q, k, v, bias=None, keep=None,
     Np = math.ceil(N / tile_q) * tile_q
     Mp = math.ceil(M / tile) * tile
     nq = Np // tile_q
-    hg = math.gcd(head_group, H)
+    hg = _auto_head_group(H, tile_q, Mp, D, head_group)
     G = H // hg
 
     def regroup(x, L_):
@@ -192,7 +205,11 @@ def fused_bias_attention_bwd(q, k, v, bias, keep, do,
     Np = math.ceil(N / tile_q) * tile_q
     Mp = math.ceil(M / tile) * tile
     nq = Np // tile_q
+    # backward holds ~4 score strips (s/p/dp/ds) + dk/dv accumulators
+    per_head = tile_q * Mp * 4 * 4 + 2 * Mp * D * 4 + 3 * Mp * D * 2 * 2
     hg = math.gcd(head_group, H)
+    while hg > 1 and hg * per_head > (10 << 20):
+        hg //= 2
     G = H // hg
 
     def regroup(x, L_):

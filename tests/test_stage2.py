@@ -222,3 +222,26 @@ def test_cross_attention_uses_img_cond_bias_slice(model_and_params):
     p2["params"]["camera_bias_emb"] = jnp.asarray(cbe)
     out2 = model.apply(p2, ids, cond, ii, ei).logits
     assert np.abs(np.asarray(out2) - np.asarray(base)).max() > 1e-6
+
+
+@pytest.mark.parametrize("cam_names,num_cams", [
+    ("NUSCENES_FRONT", 1),            # BASELINE config 3: single camera
+    ("ARGOVERSE_RING_CAMERAS", 7),    # BASELINE config 4: full 7-cam ring
+])
+def test_camera_count_variants(cam_names, num_cams):
+    dataset = "nuscenes" if cam_names.startswith("NUSCENES") else "argoverse"
+    cfg = tiny_cfg(cam_names=cam_names, num_cams=num_cams, dataset=dataset)
+    model = MultiViewTransformer(cfg)
+    ids, cond, ii, ei = make_inputs(cfg, b=1)
+    params = model.init(jax.random.PRNGKey(0), ids, cond, ii, ei)
+    out = model.apply(params, ids, cond, ii, ei)
+    assert out.logits.shape == (1, num_cams, cfg.num_cam_tokens,
+                                cfg.vocab_size)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    # decode a few steps end to end
+    muse = MuseConfig(sample_iterations=2)
+    mgm = mg.MaskGit(cfg, muse)
+    mparams = mgm.init(jax.random.PRNGKey(0), ids, cond, ii, ei,
+                       method=mg.MaskGit.init_all)
+    toks = mg.generate(mgm, mparams, cond, ii, ei, jax.random.PRNGKey(1))
+    assert toks.shape == (1, num_cams, *cfg.cam_latent_res)
