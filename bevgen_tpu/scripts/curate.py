@@ -35,6 +35,28 @@ def interesting_scores(bev_dir: Path, max_samples=None):
     return sorted(scores, key=lambda kv: -kv[1])
 
 
+def different_scores(bev_dir: Path, top: int, max_samples=None):
+    """Greedy max-min diverse subset by BEV raster dissimilarity
+    (find_different_nuscenes_samples.py equivalent)."""
+    from bevgen_tpu.data.rasterize import load_bev_raster
+    files = sorted(bev_dir.rglob("*.npz"))[:max_samples]
+    if not files:
+        return []
+    feats = []
+    for f in files:
+        layers = load_bev_raster(f)
+        small = layers[::16, ::16].reshape(-1)   # 16x16 thumbnail features
+        feats.append(small)
+    feats = np.stack(feats)
+    chosen = [0]
+    dists = np.linalg.norm(feats - feats[0], axis=1)
+    while len(chosen) < min(top, len(files)):
+        nxt = int(np.argmax(dists))
+        chosen.append(nxt)
+        dists = np.minimum(dists, np.linalg.norm(feats - feats[nxt], axis=1))
+    return [f"{files[i].parent.name}_{files[i].stem}" for i in chosen]
+
+
 def filter_outputs(root: Path, keep_frac: float, lpips_npz=None):
     """Drop the worst (1-keep)x samples by gen-vs-GT distance."""
     import cv2
@@ -83,6 +105,13 @@ def main(argv=None):
         scores = interesting_scores(bev_dir)[:top]
         out.write_text("\n".join(tok for tok, _ in scores))
         print(f"wrote {len(scores)} tokens to {out}")
+    elif mode == "different":
+        bev_dir = Path(args.pop("bev_dir"))
+        out = Path(args.pop("out", "different_tokens.txt"))
+        top = int(args.pop("top", 100))
+        tokens = different_scores(bev_dir, top)
+        out.write_text("\n".join(tokens))
+        print(f"wrote {len(tokens)} tokens to {out}")
     elif mode == "filter":
         root = Path(args.pop("dir"))
         keep = float(args.pop("keep", 0.5))

@@ -186,3 +186,20 @@ def test_cli_parse_and_preset_errors():
         build_config({"preset": "nope"})
     with pytest.raises(SystemExit):
         parse_argv(["notkeyvalue"])
+
+
+def test_curate_different_mode(tmp_path):
+    from bevgen_tpu.data.rasterize import save_bev_raster
+    from bevgen_tpu.scripts import curate
+    d = tmp_path / "bev" / "log1"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    # two identical rasters + one very different
+    a = np.zeros((256, 256, 7), np.float32); a[:64, :64, 0] = 1
+    c = np.zeros((256, 256, 7), np.float32); c[128:, 128:, 4] = 1
+    save_bev_raster(d / "1.npz", a)
+    save_bev_raster(d / "2.npz", a)
+    save_bev_raster(d / "3.npz", c)
+    toks = curate.different_scores(tmp_path / "bev", top=2)
+    assert len(toks) == 2
+    assert "log1_3" in toks  # the dissimilar raster must be selected
