@@ -68,7 +68,16 @@ def make_sparse_attention(layout: np.ndarray, allowed: np.ndarray,
         return jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v,
                           preferred_element_type=jnp.float32).astype(v.dtype)
 
-    pallas_ok = (tile % block == 0)
+    # the kernel only wins when enough 128-tiles actually skip: random
+    # fine-grained blocks coarsen to near-dense (measured: 16-token
+    # blocks at fine density 0.24 -> coarse 0.53, kernel 14ms vs dense
+    # 10ms; 128-token blocks at 0.23 -> kernel 5ms vs dense 10ms)
+    pallas_ok = tile % block == 0
+    if pallas_ok:
+        from bevgen_tpu.ops.pallas.block_sparse import plan_tiles
+        plan = plan_tiles(layout, block, allowed.shape[-1], tile)
+        coarse_density = float(plan.counts.mean()) / plan.counts.shape[-1]
+        pallas_ok = coarse_density < 0.45
 
     @jax.custom_vjp
     def attn(q, k, v, bias):
