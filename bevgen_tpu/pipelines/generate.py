@@ -96,9 +96,34 @@ class BEVGenPipeline(NamedTuple):
         return images, ids
 
 
-def make_jitted_generate(pipe: BEVGenPipeline, donate: bool = False):
+def make_jitted_generate(pipe: BEVGenPipeline):
     @jax.jit
     def run(params, segmentation, intrinsics_inv, extrinsics_inv, rng):
         return pipe.generate_fn(params, segmentation, intrinsics_inv,
                                 extrinsics_inv, rng)
     return run
+
+
+def make_sharded_generate(pipe: BEVGenPipeline, mesh):
+    """Multi-chip serving: batch sharded over dp, attention/FFN weights
+    over tp — the whole decode scan runs SPMD with XLA collectives over
+    ICI. Returns (jitted_fn, shard_params, shard_batch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bevgen_tpu.parallel import sharding as shd
+
+    def shard_params(params):
+        return jax.device_put(params, shd.param_shardings(params, mesh))
+
+    batch_sh = NamedSharding(mesh, P("dp"))
+    rng_sh = NamedSharding(mesh, P())
+
+    jitted = jax.jit(
+        lambda params, seg, ii, ei, rng: pipe.generate_fn(
+            params, seg, ii, ei, rng),
+        in_shardings=(None, batch_sh, batch_sh, batch_sh, rng_sh),
+    )
+
+    def shard_batch(*arrays):
+        return tuple(jax.device_put(a, batch_sh) for a in arrays)
+
+    return jitted, shard_params, shard_batch

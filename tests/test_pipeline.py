@@ -67,3 +67,32 @@ def test_ar_pipeline_end_to_end():
     assert images.shape == (1, tf.num_cams, H, W, 3)
     arr = np.asarray(ids)
     assert (arr >= 0).all() and (arr < tf.vocab_size).all()
+
+
+def test_sharded_generation_multichip(tiny_pipe):
+    """Full generation SPMD over a dp x tp mesh (8 virtual devices)."""
+    from bevgen_tpu.parallel import sharding as shd
+    from bevgen_tpu.pipelines.generate import make_sharded_generate
+    pipe, params = tiny_pipe
+    mesh = shd.make_mesh(dp=4, tp=2)
+    run, shard_params, shard_batch = make_sharded_generate(pipe, mesh)
+    batch = fake_batch(pipe.config, batch_size=4)
+    with mesh:
+        p = shard_params(params)
+        seg, ii, ei = shard_batch(jnp.asarray(batch["segmentation"]),
+                                  jnp.asarray(batch["intrinsics_inv"]),
+                                  jnp.asarray(batch["extrinsics_inv"]))
+        images, ids = run(p, seg, ii, ei, jax.random.PRNGKey(0))
+    cfg = pipe.config.transformer
+    assert images.shape[:2] == (4, cfg.num_cams)
+    arr = np.asarray(ids)
+    assert (arr >= 0).all() and (arr < cfg.vocab_size).all()
+    # SPMD sampling tracks the single-device run: TP all-reduce ordering
+    # perturbs logits in the last ulps, so a few argmax/gumbel picks may
+    # flip — require a high agreement fraction, not bit-equality
+    single = jax.jit(pipe.generate_fn)(
+        params, jnp.asarray(batch["segmentation"]),
+        jnp.asarray(batch["intrinsics_inv"]),
+        jnp.asarray(batch["extrinsics_inv"]), jax.random.PRNGKey(0))
+    agreement = (arr == np.asarray(single[1])).mean()
+    assert agreement > 0.9, f"SPMD/single agreement {agreement:.3f}"
