@@ -77,3 +77,19 @@ def test_cached_partial_decode():
                                      jax.random.PRNGKey(2), init_ids=init)
     np.testing.assert_array_equal(
         np.asarray(out).reshape(ids.shape)[:, 0], np.asarray(ids[:, 0]))
+
+
+def test_cached_matches_full_forward_nuscenes_outward_order():
+    """The cached decoder must track the full forward under the
+    interleaved nuScenes outward decode order too."""
+    cfg = gpt_cfg(dataset="nuscenes", cam_names="NUSCENES_CAMERAS",
+                  num_cams=6, cam_latent_res=(2, 5), sparse_block_size=8,
+                  density=0.8, legacy_prob_matrix=True, bev_embed=False)
+    model = SparseGPT(cfg, use_pallas=False)
+    ids, cond, ii, ei = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, cond, ii, ei)
+    full = model.apply(params, ids, cond, ii, ei, sampling=True)
+    cached = ar_cached.teacher_forced_logits(model, params, ids, cond,
+                                             ii, ei)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full),
+                               atol=2e-4)
