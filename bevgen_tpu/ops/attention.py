@@ -10,10 +10,11 @@ RAW scores, so it is scaled together with qk^T).
 
 Two implementations with identical semantics:
   * XLA dense-masked attention — the combined mask is expanded from the
-    small (H, nb, nb) layout inside the jitted program; ground truth +
-    the backward pass.
-  * Pallas flash-style kernel (ops/pallas/block_sparse.py) skipping
-    inactive 128-tiles — the forward hot path on TPU.
+    small (H, nb, nb) layout inside the jitted program; ground truth.
+  * Pallas flash-style kernels (ops/pallas/block_sparse.py) skipping
+    inactive 128-tiles — the hot path on TPU for BOTH directions: the
+    forward saves per-row lse, and the custom_vjp backward runs the
+    dq/dbias and transposed-plan dk/dv kernels.
 
 The reference kernels are fp16-only (sparse_self_attention.py:127);
 here bf16/fp32 both work, softmax always fp32.
@@ -79,6 +80,12 @@ def make_sparse_attention(layout: np.ndarray, allowed: np.ndarray,
         coarse_density = float(plan.counts.mean()) / plan.counts.shape[-1]
         pallas_ok = coarse_density < 0.45
 
+    def _nc(q):
+        if num_cond_tokens is not None:
+            return num_cond_tokens
+        a0 = allowed[0]
+        return int(np.argmin(a0)) if a0.min() == 0 else allowed.shape[-1]
+
     @jax.custom_vjp
     def attn(q, k, v, bias):
         from bevgen_tpu.ops.pallas.block_sparse import block_sparse_attention
@@ -89,12 +96,26 @@ def make_sparse_attention(layout: np.ndarray, allowed: np.ndarray,
                                       num_pad_tokens=num_pad_tokens)
 
     def fwd(q, k, v, bias):
-        return attn(q, k, v, bias), (q, k, v, bias)
+        from bevgen_tpu.ops.pallas.block_sparse import block_sparse_attention
+        out, lse = block_sparse_attention(q, k, v, layout, allowed, bias,
+                                          block=block, tile=tile,
+                                          scale=_scale(q.shape[-1]),
+                                          num_cond_tokens=num_cond_tokens,
+                                          num_pad_tokens=num_pad_tokens,
+                                          return_lse=True)
+        return out, (q, k, v, bias, out, lse)
 
     def bwd(res, g):
-        q, k, v, bias = res
-        _, vjp = jax.vjp(dense, q, k, v, bias)
-        return vjp(g)
+        q, k, v, bias, out, lse = res
+        from bevgen_tpu.ops.pallas.block_sparse import (
+            block_sparse_attention_bwd)
+        dq, dk, dv, dbias = block_sparse_attention_bwd(
+            q, k, v, layout, bias, out, g.astype(q.dtype), lse,
+            block=block, tile=tile, scale=_scale(q.shape[-1]),
+            num_cond_tokens=_nc(q), num_pad_tokens=num_pad_tokens)
+        if dbias is None:
+            dbias = jnp.zeros_like(bias)
+        return dq, dk, dv, dbias
 
     attn.defvjp(fwd, bwd)
 

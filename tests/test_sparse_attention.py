@@ -101,3 +101,47 @@ def test_gradients_flow_through_custom_vjp():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_block_sparse_backward_matches_dense_grads():
+    """Pallas sparse backward (dq + transposed-plan dkv + dbias) vs
+    jax.grad of the dense masked reference, interpret mode."""
+    layout, allowed, bias, q, k, v = make_case(B=2, H=2, L=256, density=0.4,
+                                               seed=3)
+    # our backward uses the causal/cond index-mask: this synthetic case
+    # is pure-causal (nc inferred as 1 by the fwd path); use nc=0-like
+    # semantics by making row 0 attend col 0 only -> set nc=1
+    nc = 1
+    rng = np.random.default_rng(9)
+    do = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+
+    out, lse = block_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), layout, allowed,
+        jnp.asarray(bias), block=16, num_cond_tokens=nc, return_lse=True,
+        interpret=True)
+    from bevgen_tpu.ops.pallas.block_sparse import block_sparse_attention_bwd
+    dq, dk, dv, dbias = block_sparse_attention_bwd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), layout,
+        jnp.asarray(bias), out, do, lse, block=16, num_cond_tokens=nc,
+        interpret=True)
+
+    def dense_loss(q, k, v, bias):
+        B, H, L, D = q.shape
+        scale = 1.0 / np.sqrt(D)
+        big = jnp.repeat(jnp.repeat(jnp.asarray(layout), 16, 1), 16, 2)
+        keep = (big[:, :L, :L] > 0) & (jnp.asarray(allowed)[None] > 0)
+        s = jnp.einsum("bhid,bhjd->bhij", q, k,
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(keep[None], (s + bias[None, None]) * scale, -1e9)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhij,bhjd->bhid", p, v,
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(o * do)
+
+    rq, rk, rv, rbias = jax.grad(dense_loss, argnums=(0, 1, 2, 3))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(rbias),
+                               atol=5e-3)
