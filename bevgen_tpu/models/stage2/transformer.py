@@ -96,35 +96,38 @@ class CosineAttention(nn.Module):
 
         null_kv = self.param("null_kv", nn.initializers.normal(1.0),
                              (2, h, 1, dh), jnp.float32)
-        nk = jnp.broadcast_to(null_kv[0][None], (b, h, 1, dh)).astype(q.dtype)
-        nv = jnp.broadcast_to(null_kv[1][None], (b, h, 1, dh)).astype(q.dtype)
-        k = jnp.concatenate([nk, k], axis=2)
-        v = jnp.concatenate([nv, v], axis=2)
-
         q_scale = self.param("q_scale", nn.initializers.ones, (dh,), jnp.float32)
         k_scale = self.param("k_scale", nn.initializers.ones, (dh,), jnp.float32)
-        # l2norm + learned scales in fp32, then back to the compute dtype
-        # so the MXU runs the similarity matmul at bf16 rate (values are
-        # unit-norm — well inside bf16 range)
-        qf = (l2norm(q) * q_scale).astype(self.dtype)
-        kf = (l2norm(k) * k_scale).astype(self.dtype)
-
-        # null-kv-padded shared bias (muse_maskgit_pytorch.py:155)
-        bias = (jnp.pad(attn_bias.astype(jnp.float32), ((0, 0), (1, 0)))
-                if attn_bias is not None else None)
 
         use_fused = (self.use_fused if self.use_fused is not None
                      else jax.default_backend() == "tpu")
         if use_fused:
             # context_mask is per-sample constant by construction (CFG
             # cond-drop, transformer.py) -> a single keep flag; the null
-            # column stays visible inside the kernel.
+            # column stays visible inside the kernel, which also runs
+            # the whole prologue (fp32 l2norm + learned scales + null-KV
+            # fold-in) in VMEM — see ops/pallas/fused_attention.py.
             from bevgen_tpu.ops.pallas.fused_attention import (
-                make_fused_attention)
+                make_cosine_attention)
             keep = context_mask[:, 0] if context_mask is not None else None
-            fused = make_fused_attention(sm_scale=self.scale)
-            out = fused(qf, kf, v.astype(self.dtype), bias, keep)
+            fused = make_cosine_attention(sm_scale=self.scale)
+            out = fused(q, k, v.astype(self.dtype), null_kv, q_scale,
+                        k_scale, attn_bias, keep)
         else:
+            nk = jnp.broadcast_to(null_kv[0][None],
+                                  (b, h, 1, dh)).astype(q.dtype)
+            nv = jnp.broadcast_to(null_kv[1][None],
+                                  (b, h, 1, dh)).astype(q.dtype)
+            k = jnp.concatenate([nk, k], axis=2)
+            v = jnp.concatenate([nv, v], axis=2)
+            # l2norm + learned scales in fp32, then back to the compute
+            # dtype so the MXU runs the similarity matmul at bf16 rate
+            # (values are unit-norm — well inside bf16 range)
+            qf = (l2norm(q) * q_scale).astype(self.dtype)
+            kf = (l2norm(k) * k_scale).astype(self.dtype)
+            # null-kv-padded shared bias (muse_maskgit_pytorch.py:155)
+            bias = (jnp.pad(attn_bias.astype(jnp.float32), ((0, 0), (1, 0)))
+                    if attn_bias is not None else None)
             sim = jnp.einsum("bhid,bhjd->bhij", qf, kf,
                              preferred_element_type=jnp.float32) * self.scale
             if bias is not None:

@@ -323,3 +323,225 @@ def make_fused_attention(sm_scale: float = 1.0, use_pallas: Optional[bool] = Non
         return attn(q, k, v, bias_arr, keep_arr)
 
     return dispatch
+
+# ---------------------------------------------------------------------------
+# fully-fused cosine attention: l2norm + learned scales + null KV in-kernel
+# ---------------------------------------------------------------------------
+
+
+def _l2n(x, eps=1e-12):
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def _qknorm_kernel(keep_ref, q_ref, k_ref, v_ref, null_ref, scale_ref,
+                   bias_ref, o_ref,
+                   *, sm_scale: float, m_real: int, has_bias: bool,
+                   groups_per_batch: int):
+    """Cosine attention with the q-side prologue and the null KV column
+    fused: raw q is l2-normalized (fp32) and scaled in VMEM; the null
+    column (muse_maskgit_pytorch.py:150-156) is folded into the softmax
+    algebra instead of being concatenated onto K/V in HBM. K arrives
+    pre-normalized from one cheap XLA elementwise pass (normalizing K
+    in-kernel needs either a per-q-tile recompute — a cross-lane
+    reduction, measured +10 ms/call — or a VMEM scratch cache that
+    forces the head group down to 2, measured +2.6 ms/call). Column 0
+    of the reference layout (the null column) carries no bias and
+    ignores the CFG keep flag."""
+    b = pl.program_id(0) // groups_per_batch
+    mp = k_ref.shape[2]
+
+    qsc = scale_ref[0].astype(jnp.float32)               # (D,)
+    q = (_l2n(q_ref[0].astype(jnp.float32)) * qsc).astype(o_ref.dtype)
+    k = k_ref[0]                                         # (H, Mp, D) normed
+    nk = null_ref[0, :, 0:1].astype(o_ref.dtype)         # (H, 1, D) normed
+    nv = null_ref[0, :, 1:2].astype(jnp.float32)
+
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s * sm_scale
+    if has_bias:
+        s = s + bias_ref[0][None]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, mp), 2)
+    keep_b = keep_ref[b]
+    valid = (col < m_real) & (keep_b > 0)
+    s = jnp.where(valid, s, NEG_INF)
+
+    # null column: score q.nk * sm_scale, zero bias, always visible
+    s_null = jax.lax.dot_general(q, nk, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    s_null = s_null * sm_scale                            # (H, T, 1)
+
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_null)
+    e = jnp.exp(s - m)
+    e_null = jnp.exp(s_null - m)                          # (H, T, 1)
+    denom = jnp.sum(e, axis=-1, keepdims=True) + e_null
+    # p @ V on bf16 operands (the XLA reference also casts the probs
+    # to the compute dtype before AV — transformer.py:136-138)
+    out = jax.lax.dot_general(e.astype(v_ref.dtype), v_ref[0],
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    out = (out + e_null * nv) / denom
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_cosine_attention_fwd(q, k, v, null_kv, q_scale, k_scale,
+                               bias=None, keep=None, sm_scale: float = 8.0,
+                               tile: int = 128, head_group: int = 8,
+                               tile_q: int = 128, interpret: bool = False):
+    """q: (B, H, N, D) RAW (pre-norm); k, v: (B, H, M, D) RAW without the
+    null column; null_kv: (2, H, 1, D); q_scale/k_scale: (D,);
+    bias: (N, M) or None; keep: (B,) or None. Returns (B, H, N, D) in
+    q.dtype — numerically the cosine attention of
+    models/stage2/transformer.py with the null KV at column 0."""
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    Np = math.ceil(N / tile_q) * tile_q
+    Mp = math.ceil(M / tile) * tile
+    nq = Np // tile_q
+    hg = _auto_head_group(H, tile_q, Mp, D, head_group)
+    G = H // hg
+
+    def regroup(x, L_):
+        return x.reshape(B * G, hg, L_, D)
+
+    def l2n_scaled(t, sc):
+        n = jnp.sqrt(jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
+                             keepdims=True))
+        return (t.astype(jnp.float32) / jnp.maximum(n, 1e-12)) * sc
+
+    ksf = jnp.asarray(k_scale, jnp.float32)
+    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    qp = regroup(_pad_to(q, Np, 2), Np)
+    kp = regroup(_pad_to(kf, Mp, 2), Mp)
+    vp = regroup(_pad_to(v, Mp, 2), Mp)
+    # (2, H, 1, D) -> (G, hg, 2, D): normalized null-K row + raw null-V
+    nkv = jnp.asarray(null_kv, jnp.float32)
+    nkv = jnp.stack([l2n_scaled(nkv[0], ksf), nkv[1]])
+    nkv = nkv.reshape(2, G, hg, D).transpose(1, 2, 0, 3)  # (G, hg, 2, D)
+    scales = jnp.stack([jnp.asarray(q_scale, jnp.float32), ksf])  # (2, D)
+    has_bias = bias is not None
+    if has_bias:
+        biasp = _pad_to(_pad_to(jnp.asarray(bias, jnp.float32)[None],
+                                Mp, 2), Np, 1)
+    else:
+        biasp = jnp.zeros((1, tile_q, Mp), jnp.float32)
+    keep_arr = (jnp.ones((B,), jnp.int32) if keep is None
+                else jnp.asarray(keep).astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * G, nq),
+        in_specs=[
+            pl.BlockSpec((1, hg, tile_q, D), lambda g, qi, kk: (g, 0, qi, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, 2, D),
+                         lambda g, qi, kk, G=G: (g % G, 0, 0, 0)),
+            pl.BlockSpec((2, D), lambda g, qi, kk: (0, 0)),
+            (pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, qi, 0))
+             if has_bias else
+             pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, 0, 0))),
+        ],
+        out_specs=pl.BlockSpec((1, hg, tile_q, D),
+                               lambda g, qi, kk: (g, 0, qi, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_qknorm_kernel, sm_scale=sm_scale, m_real=M,
+                has_bias=has_bias, groups_per_batch=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * G, hg, Np, D), q.dtype),
+        interpret=interpret,
+    )(keep_arr, qp, kp, vp, nkv, scales, biasp)
+    return out.reshape(B, H, Np, D)[:, :, :N]
+
+
+def make_cosine_attention(sm_scale: float = 8.0,
+                          use_pallas: Optional[bool] = None):
+    """cos_attn(q, k, v, null_kv, q_scale, k_scale, bias, keep) -> out.
+
+    Forward: one fully-fused Pallas kernel (norms + scales + null KV +
+    bias + CFG keep + softmax + AV). Backward: the prologue is
+    recomputed in XLA under jax.vjp and chained with the Pallas
+    attention backward — training pays what it paid before this fusion,
+    the forward (both passes) gets cheaper."""
+
+    def _prologue(q, k, v, null_kv, q_scale, k_scale, bias):
+        B, H = q.shape[0], q.shape[1]
+        D = q.shape[-1]
+        f32 = jnp.float32
+        nk = jnp.broadcast_to(null_kv[0][None], (B, H, 1, D)).astype(q.dtype)
+        nv = jnp.broadcast_to(null_kv[1][None], (B, H, 1, D)).astype(v.dtype)
+        kc = jnp.concatenate([nk, k], axis=2)
+        vc = jnp.concatenate([nv, v], axis=2)
+
+        def l2n(t):
+            n = jnp.linalg.norm(t.astype(f32), axis=-1, keepdims=True)
+            return t.astype(f32) / jnp.maximum(n, 1e-12)
+
+        qf = (l2n(q) * q_scale).astype(q.dtype)
+        kf = (l2n(kc) * k_scale).astype(q.dtype)
+        biasp = jnp.pad(jnp.asarray(bias, f32), ((0, 0), (1, 0)))
+        return qf, kf, vc, biasp
+
+    @jax.custom_vjp
+    def attn(q, k, v, null_kv, q_scale, k_scale, bias, keep):
+        return fused_cosine_attention_fwd(q, k, v, null_kv, q_scale,
+                                          k_scale, bias, keep,
+                                          sm_scale=sm_scale)
+
+    def fwd(q, k, v, null_kv, q_scale, k_scale, bias, keep):
+        return (attn(q, k, v, null_kv, q_scale, k_scale, bias, keep),
+                (q, k, v, null_kv, q_scale, k_scale, bias, keep))
+
+    def bwd(res, g):
+        q, k, v, null_kv, q_scale, k_scale, bias, keep = res
+        (qf, kf, vc, biasp), pvjp = jax.vjp(
+            _prologue, q, k, v, null_kv, q_scale, k_scale, bias)
+        # keep-flag semantics differ by one column between the two
+        # kernels: the prologue output's column 0 IS the null column,
+        # which fused_bias_attention_bwd already exempts from keep.
+        dqf, dkf, dvc, dbiasp = fused_bias_attention_bwd(
+            qf, kf, vc, biasp, keep, g.astype(qf.dtype), sm_scale=sm_scale)
+        dq, dk, dv, dnull, dqs, dks, dbias = pvjp(
+            (dqf.astype(qf.dtype), dkf.astype(kf.dtype),
+             dvc.astype(vc.dtype), dbiasp))
+        return dq, dk, dv, dnull, dqs, dks, dbias, jnp.zeros_like(keep)
+
+    attn.defvjp(fwd, bwd)
+
+    def _dense(q, k, v, null_kv, q_scale, k_scale, bias, keep):
+        qf, kf, vc, biasp = _prologue(q, k, v, null_kv, q_scale, k_scale,
+                                      bias)
+        return _dense_cosine(qf, kf, vc, biasp, keep, sm_scale)
+
+    def dispatch(q, k, v, null_kv, q_scale, k_scale, bias=None, keep=None):
+        on_tpu = jax.default_backend() == "tpu"
+        use = use_pallas if use_pallas is not None else on_tpu
+        N, M = q.shape[2], k.shape[2]
+        bias_arr = (jnp.zeros((N, M), jnp.float32) if bias is None
+                    else jnp.asarray(bias, jnp.float32))
+        keep_arr = (jnp.ones((q.shape[0],), jnp.float32) if keep is None
+                    else jnp.asarray(keep).astype(jnp.float32))
+        if not use:
+            return _dense(q, k, v, null_kv, q_scale, k_scale, bias_arr,
+                          keep_arr)
+        return attn(q, k, v, null_kv, q_scale, k_scale, bias_arr, keep_arr)
+
+    return dispatch
+
+
+def _dense_cosine(qf, kf, vc, biasp, keep, sm_scale):
+    """XLA reference for the post-prologue cosine attention (null column
+    already at index 0 of kf/vc/biasp)."""
+    s = jnp.einsum("bhid,bhjd->bhij", qf, kf,
+                   preferred_element_type=jnp.float32) * sm_scale
+    s = s + biasp[None, None]
+    if keep is not None:
+        M = kf.shape[2]
+        col = jnp.arange(M)
+        valid = (jnp.asarray(keep)[:, None] > 0) | (col[None] == 0)
+        s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", p.astype(vc.dtype), vc,
+                      preferred_element_type=jnp.float32).astype(qf.dtype)

@@ -114,3 +114,83 @@ def test_pallas_backward_matches_dense_grads():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=2e-3)
     np.testing.assert_allclose(np.asarray(dbias), np.asarray(rbias),
                                atol=2e-3)
+
+
+def cosine_case(B=2, H=4, N=96, M=70, D=64, seed=2):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, H, N, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, M, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, M, D)).astype(np.float32)
+    null_kv = rng.standard_normal((2, H, 1, D)).astype(np.float32)
+    qs = (1.0 + 0.1 * rng.standard_normal(D)).astype(np.float32)
+    ks = (1.0 + 0.1 * rng.standard_normal(D)).astype(np.float32)
+    bias = rng.standard_normal((N, M)).astype(np.float32)
+    return (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(null_kv), jnp.asarray(qs), jnp.asarray(ks),
+            jnp.asarray(bias))
+
+
+def dense_cosine_reference(q, k, v, null_kv, qs, ks, bias, keep, scale=8.0):
+    B, H, N, D = q.shape
+    nk = jnp.broadcast_to(null_kv[0][None], (B, H, 1, D))
+    nv = jnp.broadcast_to(null_kv[1][None], (B, H, 1, D))
+    kc = jnp.concatenate([nk, k], axis=2)
+    vc = jnp.concatenate([nv, v], axis=2)
+
+    def l2n(t):
+        n = jnp.linalg.norm(t, axis=-1, keepdims=True)
+        return t / jnp.maximum(n, 1e-12)
+
+    qf, kf = l2n(q) * qs, l2n(kc) * ks
+    s = jnp.einsum("bhid,bhjd->bhij", qf, kf) * scale
+    s = s + jnp.pad(bias, ((0, 0), (1, 0)))[None, None]
+    if keep is not None:
+        col = jnp.arange(kc.shape[2])
+        valid = (keep[:, None] > 0) | (col[None] == 0)
+        s = jnp.where(valid[:, None, None, :], s, -1e9)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", p, vc)
+
+
+@pytest.mark.parametrize("keep", [None, "flags"])
+def test_fused_cosine_matches_dense(keep):
+    q, k, v, nkv, qs, ks, bias = cosine_case()
+    keep_arr = jnp.asarray([1, 0], jnp.int32) if keep else None
+    out = np.asarray(fa.fused_cosine_attention_fwd(
+        q, k, v, nkv, qs, ks, bias, keep_arr, sm_scale=8.0, interpret=True))
+    ref = np.asarray(dense_cosine_reference(q, k, v, nkv, qs, ks, bias,
+                                            keep_arr))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_fused_cosine_multi_group_interpret():
+    # H=4, head_group=2 -> 2 groups per batch: exercises the per-group
+    # null-KV block indexing
+    q, k, v, nkv, qs, ks, bias = cosine_case(H=4)
+    out = np.asarray(fa.fused_cosine_attention_fwd(
+        q, k, v, nkv, qs, ks, bias, None, sm_scale=8.0, head_group=2,
+        interpret=True))
+    ref = np.asarray(dense_cosine_reference(q, k, v, nkv, qs, ks, bias,
+                                            None))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_cosine_dispatch_gradients_cpu():
+    """make_cosine_attention's dense CPU path must be differentiable in
+    all eight args and match the reference forward."""
+    q, k, v, nkv, qs, ks, bias = cosine_case(N=64, M=40)
+    cos = fa.make_cosine_attention(sm_scale=8.0, use_pallas=False)
+
+    out = np.asarray(cos(q, k, v, nkv, qs, ks, bias))
+    ref = np.asarray(dense_cosine_reference(q, k, v, nkv, qs, ks, bias,
+                                            None))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+    def loss(q, k, v, nkv, qs, ks, bias):
+        return jnp.sum(cos(q, k, v, nkv, qs, ks, bias) ** 2)
+
+    grads = jax.grad(loss, argnums=tuple(range(7)))(q, k, v, nkv, qs, ks,
+                                                    bias)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
