@@ -40,6 +40,9 @@ def main():
     cfg = argoverse_muse_7cam_config()
     pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
     params = pipe.init_params(jax.random.PRNGKey(0))
+    if os.environ.get("BENCH_QUANT", "0") == "1":
+        # int8 W8A8 decode transformer (ops/quant.py) — serving option
+        pipe, params = pipe.quantized(params)
 
     batch = fake_batch(cfg, batch_size=batch_size)
     seg = jnp.asarray(batch["segmentation"])

@@ -152,6 +152,10 @@ class MultiViewConfig:
     # activation memory — the TPU-native replacement for activation
     # checkpointing knobs
     remat: bool = False
+    # serving-path quantization of the big dense layers: "none" | "int8"
+    # (W8A8 on the v5e double-rate int8 MXU — ops/quant.py). Inference
+    # only; training and golden tests stay bf16/fp32.
+    quant: str = "none"
 
     def __post_init__(self):
         assert self.dataset in DATASETS, self.dataset

@@ -133,6 +133,11 @@ class ArgoverseDataset:
                 if lidar.exists():
                     files.extend(sorted(lidar.glob("*.feather")))
         records = sync.build_sensor_records(files, split)
+        if records.empty and not fake_load:
+            raise FileNotFoundError(
+                f"no AV2 sensor files under {self.sensor_dir} — set "
+                "ARGOVERSE_DATA_DIR (or dataset_dir=) to a sensor-split "
+                "root, or drive with the fake-batch fixture (fake=N)")
         cache = (Path(cache_dir) / f"{split}_sync.feather"
                  if cache_dir else None)
         table = sync.load_or_build_sync_cache(cache, records, "lidar",

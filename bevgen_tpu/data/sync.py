@@ -57,11 +57,15 @@ def synchronize(records: pd.DataFrame, reference_sensor: str,
     (argoverse_multi_sensor_dataloader.py:454-508)."""
     ref = records[records.sensor_name == reference_sensor][
         ["split", "log_id", "timestamp_ns"]].copy()
+    # empty / freshly-built tables can carry object dtype, which
+    # merge_asof rejects with an unhelpful error
+    ref["timestamp_ns"] = ref["timestamp_ns"].astype(np.int64)
     ref = ref.sort_values("timestamp_ns").reset_index(drop=True)
     out = ref.copy()
     for cam in cam_names:
         tgt = records[records.sensor_name == cam][
             ["split", "log_id", "timestamp_ns"]].copy()
+        tgt["timestamp_ns"] = tgt["timestamp_ns"].astype(np.int64)
         tgt = tgt.rename(columns={"timestamp_ns": cam})
         tgt = tgt.sort_values(cam).reset_index(drop=True)
         merged = pd.merge_asof(

@@ -43,6 +43,17 @@ Dtype = Any
 NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 
 
+def _make_dense(quant: str, dtype):
+    """Dense-layer factory for the hot matmuls: nn.Dense, or the W8A8
+    int8 path (ops/quant.py) when the config requests it."""
+    if quant == "int8":
+        from bevgen_tpu.ops.quant import QuantDense
+
+        return lambda f, name: QuantDense(f, dtype=dtype, name=name)
+    return lambda f, name: nn.Dense(f, use_bias=False, dtype=dtype,
+                                    param_dtype=jnp.float32, name=name)
+
+
 class LayerNormG(nn.Module):
     """Scale-only LayerNorm, eps 1e-5 (muse_maskgit_pytorch.py:62-69)."""
     dtype: Dtype = jnp.float32
@@ -73,6 +84,7 @@ class CosineAttention(nn.Module):
     scale: float = 8.0
     dtype: Dtype = jnp.float32
     use_fused: Optional[bool] = None
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, attn_bias=None):
@@ -84,8 +96,7 @@ class CosineAttention(nn.Module):
         kv_in = x if context is None else context
         m = kv_in.shape[1]
 
-        dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype,
-                                         param_dtype=jnp.float32, name=name)
+        dense = _make_dense(self.quant, self.dtype)
         q = dense(inner, "to_q")(x)
         kv = dense(inner * 2, "to_kv")(kv_in)
         k, v = jnp.split(kv, 2, axis=-1)
@@ -149,12 +160,12 @@ class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         inner = int(self.dim * self.mult * 2 / 3)
-        dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype,
-                                         param_dtype=jnp.float32, name=name)
+        dense = _make_dense(self.quant, self.dtype)
         h = LayerNormG(self.dtype, name="norm_in")(x)
         h = dense(inner * 2, "proj_in")(h)
         a, gate = jnp.split(h, 2, axis=-1)
@@ -255,21 +266,21 @@ class MultiViewTransformer(nn.Module):
               else GEGLUFeedForward)
         for layer in range(cfg.num_layers):
             x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
-                         dtype=self.dtype,
+                         dtype=self.dtype, quant=cfg.quant,
                          name=f"layers_{layer}_attn")(
                              x, attn_bias=self_bias)
             x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
-                         dtype=self.dtype,
+                         dtype=self.dtype, quant=cfg.quant,
                          name=f"layers_{layer}_cross_attn")(
                              x, context=context,
                              context_mask=context_mask,
                              attn_bias=cross_bias)
-            x = x + FF(dim, cfg.ff_mult, dtype=self.dtype,
+            x = x + FF(dim, cfg.ff_mult, dtype=self.dtype, quant=cfg.quant,
                        name=f"layers_{layer}_ff")(x)
         embed = LayerNormG(self.dtype, name="final_norm")(x)
 
-        logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype,
-                          param_dtype=jnp.float32, name="to_logits")(embed)
+        logits = _make_dense(cfg.quant, self.dtype)(
+            cfg.vocab_size, "to_logits")(embed)
         return TransformerOutput(
             logits=logits.reshape(b, cam, hw, cfg.vocab_size), embed=embed)
 

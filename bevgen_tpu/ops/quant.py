@@ -1,0 +1,109 @@
+"""int8 weight+activation quantization for the decode transformer.
+
+TPU v5e's MXU runs int8 x int8 -> int32 matmuls at twice the bf16 rate,
+and the MaskGit decode (SURVEY §3.1 hot loop) is matmul-bound at ~50%
+of the bf16 roofline — so quantizing the six big dense layers per block
+(to_q/to_kv/to_out x2, proj_in/proj_out, + to_logits) buys real
+throughput. This is a serving-path option the reference does not have
+(it serves fp16); default stays bf16 for bit-comparable golden tests.
+
+Scheme (standard dynamic W8A8):
+  * weights: per-output-channel symmetric int8, scale = amax/127,
+    quantized once host-side from the trained fp32/bf16 kernel;
+  * activations: per-token (row) symmetric int8, scale computed on the
+    fly (one VPU amax pass, comparable to a LayerNorm);
+  * matmul in int8 with int32 accumulation, rescaled by
+    s_x[t] * s_w[j] in fp32.
+
+The quantized model's param tree swaps each `kernel` for
+`kernel_q`+`scale` under the SAME module names, so
+`quantize_dense_tree` converts any trained checkpoint in place.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# dense-layer module names eligible for int8 (the hot matmuls; the tiny
+# geometry embeds, embeddings and norms stay fp32)
+QUANT_LAYER_NAMES = ("to_q", "to_kv", "to_out", "proj_in", "proj_out",
+                     "to_logits")
+
+
+def quantize_activations(x: jnp.ndarray):
+    """Per-row symmetric int8: returns (x_q int8, scale f32 (..., 1))."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_weight(w: np.ndarray):
+    """Per-output-channel symmetric int8 for a (in, out) kernel."""
+    wf = np.asarray(w, np.float32)
+    amax = np.abs(wf).max(axis=0)                       # (out,)
+    scale = np.maximum(amax, 1e-8) / 127.0
+    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def int8_matmul(x_q, x_scale, w_q, w_scale, out_dtype):
+    """(rows, K) int8 @ (K, N) int8 -> int32, rescaled to out_dtype."""
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+
+
+class QuantDense(nn.Module):
+    """Drop-in for `nn.Dense(use_bias=False)` running W8A8 on the MXU.
+
+    Params: kernel_q (in, out) int8 + scale (out,) f32 — produced from a
+    trained kernel by `quantize_dense_tree`, never trained directly.
+    """
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        w_q = self.param(
+            "kernel_q", lambda key, shape: jnp.zeros(shape, jnp.int8),
+            (in_features, self.features))
+        w_scale = self.param(
+            "scale", lambda key, shape: jnp.ones(shape, jnp.float32),
+            (self.features,))
+        x_q, x_scale = quantize_activations(x)
+        return int8_matmul(x_q, x_scale, w_q, w_scale, self.dtype)
+
+
+def quantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):
+    """Replace {'kernel'} with {'kernel_q', 'scale'} for every module in
+    `layer_names` anywhere in a flax param dict (host-side, numpy)."""
+    def rec(node, name):
+        if isinstance(node, dict):
+            if (name in layer_names and set(node) == {"kernel"}
+                    and np.ndim(node["kernel"]) == 2):
+                q, s = quantize_weight(np.asarray(node["kernel"]))
+                return {"kernel_q": q, "scale": s}
+            return {k: rec(v, k) for k, v in node.items()}
+        return node
+    return rec(jax.tree_util.tree_map(np.asarray, params), "")
+
+
+def dequantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):
+    """Inverse structure map (lossy): kernel_q*scale -> kernel fp32."""
+    def rec(node, name):
+        if isinstance(node, dict):
+            if name in layer_names and set(node) == {"kernel_q", "scale"}:
+                k = (np.asarray(node["kernel_q"], np.float32) *
+                     np.asarray(node["scale"], np.float32))
+                return {"kernel": k}
+            return {k: rec(v, k) for k, v in node.items()}
+        return node
+    return rec(jax.tree_util.tree_map(np.asarray, params), "")

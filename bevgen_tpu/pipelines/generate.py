@@ -95,6 +95,22 @@ class BEVGenPipeline(NamedTuple):
         images = self.decode_tokens(params, ids)
         return images, ids
 
+    def quantized(self, params):
+        """int8 W8A8 serving variant: returns (pipeline, params) with the
+        decode transformer's hot dense layers quantized (ops/quant.py).
+        Stage-1 convs stay bf16 (they are ~2% of the budget)."""
+        import dataclasses
+        from bevgen_tpu.ops.quant import quantize_dense_tree
+        cfg = dataclasses.replace(
+            self.config, transformer=self.config.transformer.replace(
+                quant="int8"))
+        pipe = BEVGenPipeline.create(cfg, dtype=self.maskgit.dtype)
+        qparams = dict(params)
+        qparams["maskgit"] = jax.tree_util.tree_map(
+            jnp.asarray, {"params": quantize_dense_tree(
+                params["maskgit"]["params"])})
+        return pipe, qparams
+
 
 def make_jitted_generate(pipe: BEVGenPipeline):
     @jax.jit
