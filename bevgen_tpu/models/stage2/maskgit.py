@@ -243,6 +243,22 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
     mask = rank < num_masked[..., None]
 
     labels = jnp.where(mask, tokens, -1)
+
+    if muse.no_mask_token_prob > 0.0:
+        # keep a random `prob` fraction of the masked positions at their
+        # ORIGINAL token while still predicting them — labels computed
+        # above retain these positions (muse_maskgit_pytorch.py:671-675).
+        # We use a proper rank-based subset of the masked positions; the
+        # reference's get_mask_subset_prob (:45-58) uses a single argsort
+        # where a rank computation needs two, a training-time RNG quirk
+        # with no checkpoint impact, so it is not reproduced.
+        rng, r_sub = jax.random.split(rng)
+        sub_noise = jnp.where(mask, jax.random.uniform(r_sub, mask.shape),
+                              -1.0)
+        sub_rank = _rank_desc(sub_noise)
+        num_keep = mask.sum(-1, keepdims=True) * muse.no_mask_token_prob
+        mask = mask & ~(sub_rank < num_keep)
+
     x = jnp.where(mask, mask_id, tokens).astype(jnp.int32)
 
     r_do1, r_do2, rng = jax.random.split(rng, 3)

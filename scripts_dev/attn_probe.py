@@ -157,3 +157,17 @@ def diag_attention(q, k, v, bias, mode, tile=128, head_group=8, tile_q=128):
 for mode in ("full", "nosoftmax", "nomax", "exp2"):
     bench(lambda x, m=mode: diag_attention(x, k, v, bias, m),
           f"diag {mode}")
+
+# ---- XLA dense comparison at serving shapes ----
+from bevgen_tpu.ops.pallas.fused_attention import (_dense_cosine,
+                                                   make_cosine_attention)
+
+dense_full = make_cosine_attention(sm_scale=8.0, use_pallas=False)
+bench(lambda x: dense_full(x, k, v, null_kv, qs, ks, bias, keep),
+      "XLA dense (prologue+attn)")
+
+biasp = jnp.pad(bias, ((0, 0), (1, 0)))
+kc = jnp.concatenate([jnp.zeros((B, H, 1, D), k.dtype), k], axis=2)
+vc = jnp.concatenate([jnp.zeros((B, H, 1, D), v.dtype), v], axis=2)
+bench(lambda x: _dense_cosine(x, kc, vc, biasp, keep, 8.0),
+      "XLA dense (attn only)")
