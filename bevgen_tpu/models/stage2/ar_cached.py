@@ -39,7 +39,13 @@ def _ln(p, x):
 
 
 def _dense(p, x):
-    out = x @ p["kernel"]
+    if "kernel_q" in p:
+        # int8 weights, bf16 compute (ops/quant.quantize_gpt_tree): the
+        # s8->bf16 convert fuses into the dot's operand read, halving
+        # the HBM weight traffic that bounds per-token decode.
+        out = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        out = x @ p["kernel"]
     if "bias" in p:
         out = out + p["bias"]
     return out
@@ -151,7 +157,7 @@ def prefill(params: Dict, cfg: MultiViewConfig, static: ARStatic):
         v_cache.append(jnp.pad(v, pad))
 
     last = _ln(p["ln_f"], x[:, -1])
-    logits0 = last @ p["head"]["kernel"]
+    logits0 = _dense(p["head"], last)
     return tuple(k_cache), tuple(v_cache), logits0.astype(jnp.float32)
 
 
@@ -211,7 +217,7 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
         x = x + _mlp(blk, x)
 
     out = _ln(p["ln_f"], x[:, 0])
-    logits = out @ p["head"]["kernel"]
+    logits = _dense(p["head"], out)
     return logits.astype(jnp.float32), k_cache, v_cache
 
 

@@ -96,6 +96,30 @@ def quantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):
     return rec(jax.tree_util.tree_map(np.asarray, params), "")
 
 
+# AR sparse-GPT dense layers (models/stage2/gpt.py tree): the KV-cached
+# decoder's per-token GEMVs stream every weight from HBM each step, so
+# int8 weights halve its bandwidth bound (W8, bf16 compute — see
+# ar_cached._dense).
+GPT_QUANT_LAYER_NAMES = ("query", "key", "value", "proj", "mlp_fc",
+                         "mlp_proj", "head")
+
+
+def quantize_gpt_tree(params):
+    """int8-quantize the AR GPT's dense kernels in place (keeps biases):
+    {'kernel': W, ...} -> {'kernel_q', 'scale', ...}."""
+    def rec(node, name):
+        if isinstance(node, dict):
+            if (name in GPT_QUANT_LAYER_NAMES and "kernel" in node
+                    and np.ndim(node["kernel"]) == 2):
+                q, s = quantize_weight(np.asarray(node["kernel"]))
+                out = {k: v for k, v in node.items() if k != "kernel"}
+                out.update(kernel_q=q, scale=s)
+                return out
+            return {k: rec(v, k) for k, v in node.items()}
+        return node
+    return rec(jax.tree_util.tree_map(np.asarray, params), "")
+
+
 def dequantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):
     """Inverse structure map (lossy): kernel_q*scale -> kernel fp32."""
     def rec(node, name):

@@ -68,13 +68,24 @@ def main(argv=None):
         else:
             fn = jax.jit(lambda p, c, r: generate(model, p, c, ii, ei, r))
             run = lambda: fn(params, cond, key)
-    elif mode in ("ar_train", "ar_decode", "ar_decode_full"):
+    elif mode in ("ar_train", "ar_decode", "ar_decode_int8",
+                  "ar_decode_full"):
         from bevgen_tpu.models.stage2 import ar as ar_mod
         from bevgen_tpu.models.stage2.ar_cached import ar_sample_cached
         from bevgen_tpu.models.stage2.gpt import SparseGPT
         gpt = SparseGPT(tf, dtype=jnp.bfloat16)
         gparams = gpt.init(jax.random.PRNGKey(0), tokens, cond, ii, ei)
-        if mode == "ar_train":
+        if mode == "ar_decode_int8":
+            # int8 weights halve the HBM traffic that bounds the
+            # per-token GEMVs of cached decode (ops/quant.py)
+            from bevgen_tpu.ops.quant import quantize_gpt_tree
+            gparams = jax.tree_util.tree_map(
+                jnp.asarray,
+                {"params": quantize_gpt_tree(gparams["params"])})
+            mode_impl = "ar_decode"
+        else:
+            mode_impl = mode
+        if mode_impl == "ar_train":
             # fwd+bwd — comparable to the reference's
             # scripts/inference.py:170-179 density-sweep microbenchmarks
             def loss(p, t):
@@ -82,7 +93,7 @@ def main(argv=None):
                                       deterministic=True)
             grad_fn = jax.jit(jax.grad(loss))
             run = lambda: grad_fn(gparams, tokens)
-        elif mode == "ar_decode":
+        elif mode_impl == "ar_decode":
             fn = jax.jit(lambda p, c, r: ar_sample_cached(
                 gpt, p, c, ii, ei, r, top_k=100))
             run = lambda: fn(gparams, cond, key)

@@ -41,6 +41,13 @@ def main(argv=None):
     val_tokens_dir = args.pop("val_tokens_dir", None)
     eval_every = int(args.pop("eval_every", 0))
     base_lr = float(args.pop("base_lr", 1e-4))
+    accumulate = int(args.pop("accumulate", 1))
+    # reference LR rule: accumulate x devices x batch x base_lr
+    # (generate.py:58); opt-in like the reference's scale_lr flag
+    if args.pop("scale_lr", "false").lower() == "true":
+        base_lr = optim.scaled_lr(base_lr, batch_size, len(jax.devices()),
+                                  accumulate)
+        print(f"scaled base_lr -> {base_lr:.3g}")
     warmup = int(args.pop("warmup_steps", 500))
     ckpt_dir = args.pop("ckpt_dir", None)
     ckpt_minutes = float(args.pop("ckpt_minutes", 30))
@@ -102,6 +109,7 @@ def main(argv=None):
                         method=MaskGit.init_all)
     tx = optim.maskgit_optimizer(base_lr, warmup_steps=warmup,
                                  total_steps=steps,
+                                 accumulate_steps=accumulate,
                                  params_example=params["params"])
     state = trainer.create_train_state(params, tx)
 

@@ -69,8 +69,15 @@ def maskgit_optimizer(base_lr: float, warmup_steps: int = 500,
                       total_steps: int = 300_000, weight_decay: float = 0.01,
                       b1: float = 0.9, b2: float = 0.95,
                       grad_clip: Optional[float] = 1.0,
+                      accumulate_steps: int = 1,
                       params_example=None) -> optax.GradientTransformation:
-    """Stage-2 optimizer: AdamW(0.9, 0.95) + decay partition + warmup-cosine."""
+    """Stage-2 optimizer: AdamW(0.9, 0.95) + decay partition + warmup-cosine.
+
+    accumulate_steps > 1 averages gradients over k micro-batches before
+    each update (the reference's `trainer.accumulate_grad_batches`,
+    generate.py:58 LR-scale factor) via optax.MultiSteps — the schedule
+    still counts UPDATES, matching Lightning's accumulation semantics.
+    """
     sched = warmup_cosine(base_lr, warmup_steps, total_steps)
     mask = decay_mask(params_example) if params_example is not None else None
     chain = []
@@ -80,7 +87,17 @@ def maskgit_optimizer(base_lr: float, warmup_steps: int = 500,
     if mask is not None:
         chain.append(optax.add_decayed_weights(weight_decay, mask=mask))
     chain.append(optax.scale_by_schedule(lambda s: -sched(s)))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
+
+
+def scaled_lr(base_lr: float, batch_size: int, num_devices: int = 1,
+              accumulate_steps: int = 1) -> float:
+    """The reference's LR-scaling rule:
+    accumulate x devices x batch x base_lr (generate.py:58)."""
+    return base_lr * batch_size * num_devices * accumulate_steps
 
 
 def vqgan_optimizer(lr: float) -> optax.GradientTransformation:

@@ -93,3 +93,32 @@ def test_cached_matches_full_forward_nuscenes_outward_order():
                                              ii, ei)
     np.testing.assert_allclose(np.asarray(cached), np.asarray(full),
                                atol=2e-4)
+
+
+def test_int8_weight_quantized_decode_tracks_fp32():
+    """quantize_gpt_tree: W8/bf16-compute cached decode stays close to
+    the fp32 path (the AR serving option — ar_cached._dense)."""
+    from bevgen_tpu.ops.quant import quantize_gpt_tree
+
+    cfg = gpt_cfg(camera_bias=True)
+    model = SparseGPT(cfg, use_pallas=False)
+    ids, cond, ii, ei = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, cond, ii, ei)
+    qparams = jax.tree_util.tree_map(
+        jnp.asarray, {"params": quantize_gpt_tree(params["params"])})
+
+    ref = np.asarray(ar_cached.teacher_forced_logits(
+        model, params, ids, cond, ii, ei), np.float64)
+    got = np.asarray(ar_cached.teacher_forced_logits(
+        model, qparams, ids, cond, ii, ei), np.float64)
+    a, b = ref.ravel(), got.ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.995, cos
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+    # sampling runs end-to-end on the quantized tree
+    out = ar_cached.ar_sample_cached(model, qparams, cond, ii, ei,
+                                     jax.random.PRNGKey(1), top_k=8)
+    assert out.shape == (2, cfg.num_cams, *cfg.cam_latent_res)
+    assert int(out.max()) < cfg.vocab_size

@@ -152,3 +152,56 @@ def test_sharded_step_skips_nonfinite_update():
     changed = np.asarray(
         state4.params["params"]["transformer"]["token_emb"]["embedding"])
     assert np.abs(changed - after).max() > 0
+
+
+def test_gradient_accumulation_matches_large_batch():
+    """optax.MultiSteps accumulation: k micro-steps of batch b ==
+    (up to adam epsilon effects) averaging grads before one update;
+    check the accumulated path updates only every k steps and matches
+    a manual mean-gradient update (reference accumulate_grad_batches)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from bevgen_tpu.training import optim
+
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    tx = optim.maskgit_optimizer(1e-2, warmup_steps=1, total_steps=100,
+                                 accumulate_steps=2,
+                                 params_example=params)
+    state = tx.init(params)
+
+    g1 = jax.tree_util.tree_map(lambda p: jnp.ones_like(p), params)
+    g2 = jax.tree_util.tree_map(lambda p: 3 * jnp.ones_like(p), params)
+
+    # cycle 1 (update step 0 has LR 0 under warmup — ignore its value)
+    up1, state = tx.update(g1, state, params)
+    assert all(float(jnp.abs(u).max()) == 0.0
+               for u in jax.tree_util.tree_leaves(up1)), \
+        "first micro-step must not update"
+    _, state = tx.update(g1, state, params)
+    # cycle 2: micro-steps g1 then g2 -> update from their mean at LR>0
+    upa, state = tx.update(g1, state, params)
+    assert all(float(jnp.abs(u).max()) == 0.0
+               for u in jax.tree_util.tree_leaves(upa))
+    up2, state = tx.update(g2, state, params)
+    assert any(float(jnp.abs(u).max()) > 0.0
+               for u in jax.tree_util.tree_leaves(up2))
+
+    # reference: unaccumulated optimizer fed the mean gradients directly
+    tx_ref = optim.maskgit_optimizer(1e-2, warmup_steps=1, total_steps=100,
+                                     params_example=params)
+    sref = tx_ref.init(params)
+    _, sref = tx_ref.update(g1, sref, params)
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+    upref, _ = tx_ref.update(gmean, sref, params)
+    for a, b in zip(jax.tree_util.tree_leaves(up2),
+                    jax.tree_util.tree_leaves(upref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_scaled_lr_rule():
+    from bevgen_tpu.training.optim import scaled_lr
+    assert scaled_lr(1e-4, batch_size=8, num_devices=4,
+                     accumulate_steps=2) == 1e-4 * 8 * 4 * 2
