@@ -319,6 +319,21 @@ def tiny_test_config() -> PipelineConfig:
                           muse=MuseConfig(sample_iterations=4))
 
 
+def argoverse_rect_config() -> PipelineConfig:
+    """Rectangular-crop Argoverse variant: 256x336 images -> 16x21
+    latents (configs/experiment/multi_view_stage_1_cam_rect_argoverse
+    .yaml:23-24; SURVEY §2.2 "16x21 rect")."""
+    cfg = argoverse_muse_config()
+    return dataclasses.replace(
+        cfg,
+        transformer=cfg.transformer.replace(
+            cam_res=(256, 336), cam_latent_res=(16, 21)),
+        first_stage=dataclasses.replace(
+            cfg.first_stage, cam_res=(256, 336), cam_latent_res=(16, 21),
+            geometric_embedding=False),
+    )
+
+
 def argoverse_muse_7cam_config() -> PipelineConfig:
     """argoverse_muse scaled to the full 7-camera AV2 ring — the
     BASELINE.json headline workload ("7x256px scenes")."""
@@ -341,6 +356,7 @@ def nuscenes_ar_tpu_config() -> PipelineConfig:
 
 PRESETS = {
     "argoverse_muse": argoverse_muse_config,
+    "argoverse_muse_rect": argoverse_rect_config,
     "argoverse_muse_7cam": argoverse_muse_7cam_config,
     "nuscenes_ar": nuscenes_ar_config,
     "nuscenes_ar_tpu": nuscenes_ar_tpu_config,

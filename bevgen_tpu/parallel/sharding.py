@@ -50,10 +50,14 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1,
 # projections shard their OUTPUT dim over tp; row-parallel their INPUT
 # dim, so each attention/FFN block needs exactly one all-reduce.
 _TP_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*(to_q|to_kv)/kernel$", P(None, "tp")),
-    (r".*proj_in/kernel$", P(None, "tp")),
-    (r".*(to_out|proj_out)/kernel$", P("tp", None)),
-    (r".*to_logits/kernel$", P(None, "tp")),
+    # kernel_q: the int8 serving tree (ops/quant.py) — same layout as
+    # the fp kernels it replaces; its per-output-channel scale follows
+    # the kernel's output-dim sharding.
+    (r".*(to_q|to_kv)/kernel(_q)?$", P(None, "tp")),
+    (r".*proj_in/kernel(_q)?$", P(None, "tp")),
+    (r".*(to_out|proj_out)/kernel(_q)?$", P("tp", None)),
+    (r".*to_logits/kernel(_q)?$", P(None, "tp")),
+    (r".*(to_q|to_kv|proj_in|to_logits)/scale$", P("tp")),
     (r".*(token_emb|cond_token_emb|pos_emb|cond_pos_emb)/embedding$",
      P(None, None)),
 )

@@ -96,3 +96,81 @@ def test_sharded_generation_multichip(tiny_pipe):
         jnp.asarray(batch["extrinsics_inv"]), jax.random.PRNGKey(0))
     agreement = (arr == np.asarray(single[1])).mean()
     assert agreement > 0.9, f"SPMD/single agreement {agreement:.3f}"
+
+
+def test_rect_geometry_pipeline():
+    """Non-square cameras (reference rect config 256x336 -> 16x21,
+    multi_view_stage_1_cam_rect_argoverse.yaml): full pipeline at a
+    tiny rectangular geometry."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from bevgen_tpu.core.config import (MultiViewConfig, PipelineConfig,
+                                        MuseConfig, Stage1Config,
+                                        argoverse_rect_config)
+    from bevgen_tpu.data.fake import fake_batch
+    from bevgen_tpu.pipelines.generate import BEVGenPipeline
+
+    # the real preset derives the right token geometry
+    real = argoverse_rect_config()
+    assert real.transformer.cam_latent_res == (16, 21)
+    assert real.transformer.num_cam_tokens == 336
+
+    tf = MultiViewConfig(
+        num_layers=1, num_heads=2, num_embed=32, hidden_size=32, dim_head=16,
+        vocab_size=16, cond_vocab_size=16, num_cams=3,
+        cam_names="ARGOVERSE_FRONT_CAMERAS", dataset="argoverse",
+        cam_res=(32, 48), cam_latent_res=(4, 6), bev_latent_res=(4, 4),
+        sparse_block_size=1, window_len=4, density=1.0,
+        causal_order=True, camera_bias=True, image_embed=True, bev_embed=True)
+    s1 = Stage1Config(ch=8, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                      z_channels=8, n_embed=16, embed_dim=8, resolution=32,
+                      attn_resolutions=(), cam_res=(32, 48),
+                      cam_latent_res=(4, 6))
+    bev = Stage1Config(in_channels=7, out_ch=7, n_labels=7, ch=8,
+                       ch_mult=(1, 1, 2, 2), num_res_blocks=1, z_channels=8,
+                       n_embed=16, embed_dim=8, resolution=32,
+                       attn_resolutions=(), cam_res=(32, 32),
+                       cam_latent_res=(4, 4))
+    cfg = PipelineConfig(transformer=tf, first_stage=s1, cond_stage=bev,
+                         muse=MuseConfig(sample_iterations=2))
+
+    pipe = BEVGenPipeline.create(cfg, dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    batch = fake_batch(cfg, batch_size=1)
+    images, ids = pipe.generate_fn(
+        params, jnp.asarray(batch["segmentation"]),
+        jnp.asarray(batch["intrinsics_inv"]),
+        jnp.asarray(batch["extrinsics_inv"]), jax.random.PRNGKey(1))
+    assert ids.shape == (1, 3, 4, 6)
+    assert images.shape == (1, 3, 32, 48, 3)
+
+
+def test_sharded_generation_int8_multichip(tiny_pipe):
+    """int8 W8A8 serving under dp x tp: kernel_q/scale follow the TP
+    rules (parallel/sharding.py) and SPMD decode still runs."""
+    from bevgen_tpu.parallel import sharding as shd
+    from bevgen_tpu.pipelines.generate import make_sharded_generate
+    pipe, params = tiny_pipe
+    qpipe, qparams = pipe.quantized(params)
+    mesh = shd.make_mesh(dp=4, tp=2)
+
+    # TP rules hit the quantized kernels
+    shardings = shd.param_shardings(qparams["maskgit"], mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    tp_sharded = [shd._path_str(p) for p, s in flat
+                  if "tp" in str(s.spec)]
+    assert any("kernel_q" in p for p in tp_sharded), tp_sharded[:5]
+
+    run, shard_params, shard_batch = make_sharded_generate(qpipe, mesh)
+    batch = fake_batch(qpipe.config, batch_size=4)
+    with mesh:
+        p = shard_params(qparams)
+        seg, ii, ei = shard_batch(jnp.asarray(batch["segmentation"]),
+                                  jnp.asarray(batch["intrinsics_inv"]),
+                                  jnp.asarray(batch["extrinsics_inv"]))
+        images, ids = run(p, seg, ii, ei, jax.random.PRNGKey(0))
+    cfg = qpipe.config.transformer
+    assert images.shape[:2] == (4, cfg.num_cams)
+    arr = np.asarray(ids)
+    assert (arr >= 0).all() and (arr < cfg.vocab_size).all()
