@@ -43,6 +43,9 @@ def main():
     if os.environ.get("BENCH_QUANT", "0") == "1":
         # int8 W8A8 decode transformer (ops/quant.py) — serving option
         pipe, params = pipe.quantized(params)
+    # serve without the critic pass (reference force_not_use_token_critic,
+    # muse_maskgit_pytorch.py:521) — 1 transformer forward/step instead of 2
+    no_critic = os.environ.get("BENCH_NO_CRITIC", "0") == "1"
 
     batch = fake_batch(cfg, batch_size=batch_size)
     seg = jnp.asarray(batch["segmentation"])
@@ -51,7 +54,8 @@ def main():
 
     @jax.jit
     def run(params, seg, ii, ei, rng):
-        return pipe.generate_fn(params, seg, ii, ei, rng)
+        return pipe.generate_fn(params, seg, ii, ei, rng,
+                                force_not_use_token_critic=no_critic)
 
     # warmup + compile. NOTE: on the tunneled axon platform
     # block_until_ready returns before remote execution completes, so we
@@ -74,10 +78,13 @@ def main():
     n_images = batch_size * cfg.transformer.num_cams
     ips = n_images / dt
 
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    mode = ("confidence re-mask" if no_critic else "self-critic")
+    dtype_s = "int8" if quant else "bf16"
     print(json.dumps({
         "metric": "multi-cam images/sec/chip (7-camera 256px scene "
                   f"generation, batch {batch_size}, 18-step MaskGit + "
-                  "CFG + self-critic + VQ decode)",
+                  f"CFG + {mode} + VQ decode, {dtype_s})",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),

@@ -133,7 +133,8 @@ def top_k_filter(logits, thres: float):
 
 def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
              rng, init_ids: Optional[jnp.ndarray] = None,
-             timesteps: Optional[int] = None):
+             timesteps: Optional[int] = None,
+             force_not_use_token_critic: bool = False):
     """Iteratively decode image tokens for every camera.
 
     Args:
@@ -141,9 +142,14 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
       intrinsics_inv / extrinsics_inv: (b, cam, 3, 3) / (b, cam, 4, 4).
       init_ids: optional (b, cam, hw) with mask_id at positions to
         generate (partial decoding, cond_transformer_multi_view_muse.py:125).
+      force_not_use_token_critic: serve a critic-trained checkpoint with
+        confidence-based re-masking instead of the critic pass — drops
+        one of the two transformer forwards per step
+        (muse_maskgit_pytorch.py:521,556).
     Returns: (b, cam, h, w) int32 codebook indices.
     """
     cfg, muse = model.cfg, model.muse
+    use_critic = muse.self_token_critic and not force_not_use_token_critic
     T = timesteps or muse.sample_iterations
     b = cond_ids.shape[0]
     cam, hw = cfg.num_cams, cfg.num_cam_tokens
@@ -185,7 +191,7 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
         is_mask = ids == mask_id
         ids = jnp.where(is_mask, pred, ids)
 
-        if muse.self_token_critic:
+        if use_critic:
             scores = cfg_critic(model, params, ids, cond_ids, intrinsics_inv,
                                 extrinsics_inv, muse.cond_scale)
             u = jax.random.uniform(rng_n, scores.shape, jnp.float32)

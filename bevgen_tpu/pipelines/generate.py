@@ -86,12 +86,14 @@ class BEVGenPipeline(NamedTuple):
 
     def generate_fn(self, params, segmentation, intrinsics_inv,
                     extrinsics_inv, rng,
-                    init_ids: Optional[jnp.ndarray] = None):
+                    init_ids: Optional[jnp.ndarray] = None,
+                    force_not_use_token_critic: bool = False):
         """BEV raster in, camera images out. Jit this."""
         cond_ids = self.encode_bev(params, segmentation)
-        ids = maskgit_generate(self.maskgit, params["maskgit"], cond_ids,
-                               intrinsics_inv, extrinsics_inv, rng,
-                               init_ids=init_ids)
+        ids = maskgit_generate(
+            self.maskgit, params["maskgit"], cond_ids,
+            intrinsics_inv, extrinsics_inv, rng, init_ids=init_ids,
+            force_not_use_token_critic=force_not_use_token_critic)
         images = self.decode_tokens(params, ids)
         return images, ids
 

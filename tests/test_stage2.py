@@ -288,3 +288,26 @@ def test_no_mask_token_prob_keeps_subset(tiny_pipe):
     out0 = maskgit_loss(model0, params, jax.random.PRNGKey(7), tokens, cond,
                         ii, ei)
     assert np.isfinite(float(out0.loss))
+
+
+def test_generate_force_not_use_token_critic(tiny_pipe):
+    """Serving a critic-trained model without the critic pass
+    (muse_maskgit_pytorch.py:521 force_not_use_token_critic):
+    confidence-based re-masking, valid tokens out."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bevgen_tpu.data.fake import fake_batch
+
+    pipe, params = tiny_pipe
+    batch = fake_batch(pipe.config, batch_size=1)
+    images, ids = jax.jit(
+        lambda p, s, ii, ei, r: pipe.generate_fn(
+            p, s, ii, ei, r, force_not_use_token_critic=True))(
+        params, jnp.asarray(batch["segmentation"]),
+        jnp.asarray(batch["intrinsics_inv"]),
+        jnp.asarray(batch["extrinsics_inv"]), jax.random.PRNGKey(0))
+    cfg = pipe.config.transformer
+    arr = np.asarray(ids)
+    assert arr.shape == (1, cfg.num_cams, *cfg.cam_latent_res)
+    assert (arr >= 0).all() and (arr < cfg.vocab_size).all()
