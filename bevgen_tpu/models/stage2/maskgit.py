@@ -238,7 +238,10 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
     cfg, muse = model.cfg, model.muse
     b, cam, hw = tokens.shape
     mask_id = cfg.mask_token_id
-    r_t, r_perm, r_drop, r_temp, r_gum, r_drop2 = jax.random.split(rng, 6)
+    # one up-front split: jax.random.split(k, n) prefixes coincide across
+    # different n, so re-splitting the same base key would alias streams
+    (r_t, r_perm, r_drop, r_temp, r_gum, r_drop2, r_sub, r_do1,
+     r_do2) = jax.random.split(rng, 9)
 
     t = jax.random.uniform(r_t, (b, cam))
     mask_prob = jnp.cos(t * jnp.pi / 2)
@@ -258,7 +261,6 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
         # reference's get_mask_subset_prob (:45-58) uses a single argsort
         # where a rank computation needs two, a training-time RNG quirk
         # with no checkpoint impact, so it is not reproduced.
-        rng, r_sub = jax.random.split(rng)
         sub_noise = jnp.where(mask, jax.random.uniform(r_sub, mask.shape),
                               -1.0)
         sub_rank = _rank_desc(sub_noise)
@@ -267,7 +269,6 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
 
     x = jnp.where(mask, mask_id, tokens).astype(jnp.int32)
 
-    r_do1, r_do2, rng = jax.random.split(rng, 3)
     cond_keep = jax.random.uniform(r_drop, (b,)) >= muse.cond_drop_prob
     out: TransformerOutput = model.apply(
         params, x, cond_ids, intrinsics_inv, extrinsics_inv,

@@ -65,6 +65,9 @@ class QuantDense(nn.Module):
 
     Params: kernel_q (in, out) int8 + scale (out,) f32 — produced from a
     trained kernel by `quantize_dense_tree`, never trained directly.
+    Fresh `init` draws a random int8 kernel with a lecun-normal-matched
+    scale so an unconverted tree still produces a functioning (random)
+    model instead of silent all-zero outputs.
     """
     features: int
     dtype: Any = jnp.bfloat16
@@ -72,12 +75,18 @@ class QuantDense(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
-        w_q = self.param(
-            "kernel_q", lambda key, shape: jnp.zeros(shape, jnp.int8),
-            (in_features, self.features))
-        w_scale = self.param(
-            "scale", lambda key, shape: jnp.ones(shape, jnp.float32),
-            (self.features,))
+
+        def init_kernel_q(key, shape):
+            return jax.random.randint(key, shape, -127, 128, jnp.int8)
+
+        def init_scale(key, shape):
+            # lecun-normal std / (int8 spread std ~73) per channel
+            std = float(np.sqrt(1.0 / in_features))
+            return jnp.full(shape, std / 73.0, jnp.float32)
+
+        w_q = self.param("kernel_q", init_kernel_q,
+                         (in_features, self.features))
+        w_scale = self.param("scale", init_scale, (self.features,))
         x_q, x_scale = quantize_activations(x)
         return int8_matmul(x_q, x_scale, w_q, w_scale, self.dtype)
 
@@ -96,11 +105,12 @@ def quantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):
     return rec(jax.tree_util.tree_map(np.asarray, params), "")
 
 
-# AR sparse-GPT dense layers (models/stage2/gpt.py tree): the KV-cached
+# AR sparse-GPT dense layers (models/stage2/gpt.py tree — NB its
+# attention has no output projection, a reference quirk): the KV-cached
 # decoder's per-token GEMVs stream every weight from HBM each step, so
 # int8 weights halve its bandwidth bound (W8, bf16 compute — see
 # ar_cached._dense).
-GPT_QUANT_LAYER_NAMES = ("query", "key", "value", "proj", "mlp_fc",
+GPT_QUANT_LAYER_NAMES = ("query", "key", "value", "mlp_fc",
                          "mlp_proj", "head")
 
 

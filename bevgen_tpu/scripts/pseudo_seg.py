@@ -13,9 +13,11 @@ model pluggable and keeps the IO contract:
     HuggingFace `transformers` semantic-segmentation checkpoint
     directory on local disk (zero-egress image: weights must already
     be present — same gating policy as LPIPS/FID weights);
-  * output: `<save_dir>/<relative_image_path>.npz` with `pred` uint8
-    (H, W) class ids, images resized to --size (default 384x192,
-    matching cityscapes_gen.py:53).
+  * output: the image tree mirrored under save_dir with each image's
+    extension replaced by `.npz` (`x/y/123.jpg` -> `x/y/123.npz`,
+    `pred` uint8 (H, W) class ids — same `with_suffix` contract as
+    cityscapes_gen.py:118), images resized to size= (default 384x192,
+    cityscapes_gen.py:53).
 
 Usage:
   python -m bevgen_tpu.scripts.pseudo_seg image_root=/data/nuscenes \

@@ -42,11 +42,13 @@ def main(argv=None):
     eval_every = int(args.pop("eval_every", 0))
     base_lr = float(args.pop("base_lr", 1e-4))
     accumulate = int(args.pop("accumulate", 1))
-    # reference LR rule: accumulate x devices x batch x base_lr
-    # (generate.py:58); opt-in like the reference's scale_lr flag
+    # reference LR rule: accumulate x devices x per-device-batch x base_lr
+    # (generate.py:58). Our batch_size is the GLOBAL batch (the loader
+    # yields it whole and shard_batch splits it over dp), so the device
+    # count is already inside it — scale by accumulate x global batch.
     if args.pop("scale_lr", "false").lower() == "true":
-        base_lr = optim.scaled_lr(base_lr, batch_size, len(jax.devices()),
-                                  accumulate)
+        base_lr = optim.scaled_lr(base_lr, batch_size,
+                                  accumulate_steps=accumulate)
         print(f"scaled base_lr -> {base_lr:.3g}")
     warmup = int(args.pop("warmup_steps", 500))
     ckpt_dir = args.pop("ckpt_dir", None)
@@ -107,8 +109,10 @@ def main(argv=None):
                         jnp.asarray(sample["intrinsics_inv"]),
                         jnp.asarray(sample["extrinsics_inv"]),
                         method=MaskGit.init_all)
+    # the schedule ticks once per APPLIED update (optax.MultiSteps), and
+    # the loop runs `steps` micro-batches -> steps//accumulate updates
     tx = optim.maskgit_optimizer(base_lr, warmup_steps=warmup,
-                                 total_steps=steps,
+                                 total_steps=max(1, steps // accumulate),
                                  accumulate_steps=accumulate,
                                  params_example=params["params"])
     state = trainer.create_train_state(params, tx)
@@ -124,7 +128,8 @@ def main(argv=None):
                 jnp.asarray, restored))
             print(f"resumed params from {probe.latest()}")
 
-    step_fn, state = trainer.make_sharded_train_step(model, tx, mesh, state)
+    step_fn, state = trainer.make_sharded_train_step(model, tx, mesh, state,
+                                                     ema_every=accumulate)
 
     mgr = CheckpointManager(ckpt_dir, ckpt_minutes) if ckpt_dir else None
     rng = jax.random.PRNGKey(seed + 1)

@@ -96,7 +96,11 @@ def maskgit_optimizer(base_lr: float, warmup_steps: int = 500,
 def scaled_lr(base_lr: float, batch_size: int, num_devices: int = 1,
               accumulate_steps: int = 1) -> float:
     """The reference's LR-scaling rule:
-    accumulate x devices x batch x base_lr (generate.py:58)."""
+    accumulate x devices x batch x base_lr (generate.py:58).
+
+    The reference's `batch` is PER-DEVICE (Lightning DDP), hence the
+    device factor. Pass num_devices=1 when batch_size is already the
+    global batch (our sharded training loop)."""
     return base_lr * batch_size * num_devices * accumulate_steps
 
 

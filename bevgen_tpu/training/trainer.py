@@ -36,7 +36,8 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
                     ema_decay: float = 0.9999,
-                    skip_nonfinite: bool = True):
+                    skip_nonfinite: bool = True,
+                    ema_every: int = 1):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: dict with tokens (b,cam,hw) int32, cond_ids (b,nc) int32,
@@ -45,6 +46,10 @@ def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
     skip_nonfinite: drop the update when the loss/grads are non-finite
     and keep the previous state — the bf16 analogue of DeepSpeed's
     fp16 loss-scale NaN retry (README.md:109), without the retry loop.
+
+    ema_every: set to the gradient-accumulation factor when tx is an
+    optax.MultiSteps so the EMA advances once per APPLIED update, not
+    per micro-batch (its decay horizon is defined in updates).
     """
     def loss_fn(variables_params, variables_rest, rng, batch):
         variables = {"params": variables_params, **variables_rest}
@@ -72,7 +77,19 @@ def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
                 opt_state, state.opt_state)
         else:
             ok = jnp.bool_(True)
-        ema = optim.ema_update(state.ema, new_params, ema_decay)
+        ema_cand = optim.ema_update(state.ema, new_params, ema_decay)
+        if ema_every > 1:
+            # only the final micro-batch of each accumulation cycle
+            # applies an optimizer update (optax.MultiSteps counts in
+            # lockstep with state.step since tx.update runs once here)
+            apply_ema = (state.step + 1) % ema_every == 0
+            ema = optim.EmaState(
+                params=jax.tree_util.tree_map(
+                    lambda c, e: jnp.where(apply_ema, c, e),
+                    ema_cand.params, state.ema.params),
+                count=jnp.where(apply_ema, ema_cand.count, state.ema.count))
+        else:
+            ema = ema_cand
         new_state = TrainState(step=state.step + 1,
                                params={"params": new_params, **rest},
                                opt_state=opt_state, ema=ema)
@@ -86,13 +103,14 @@ def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
 
 
 def make_sharded_train_step(model: MaskGit, tx, mesh: Mesh,
-                            state: TrainState, ema_decay: float = 0.9999):
+                            state: TrainState, ema_decay: float = 0.9999,
+                            ema_every: int = 1):
     """jit the train step with explicit in/out shardings over `mesh`.
 
     Returns (jitted_step, sharded_state): params replicated / TP-sharded,
     optimizer moments ZeRO-sharded over dp, batch sharded over dp.
     """
-    step_fn = make_train_step(model, tx, ema_decay)
+    step_fn = make_train_step(model, tx, ema_decay, ema_every=ema_every)
 
     param_sh = shd.param_shardings(state.params, mesh)
     opt_sh = shd.opt_state_shardings(state.opt_state, mesh)
