@@ -68,8 +68,25 @@ def main(argv=None):
         else:
             fn = jax.jit(lambda p, c, r: generate(model, p, c, ii, ei, r))
             run = lambda: fn(params, cond, key)
-    elif mode in ("ar_train", "ar_decode", "ar_decode_int8",
-                  "ar_decode_full"):
+    elif mode in ("stage1_train", "stage1_recon"):
+        from bevgen_tpu.models.discriminator import NLayerDiscriminator
+        from bevgen_tpu.models.stage1.vq import VQModel
+        from bevgen_tpu.training import stage1_trainer
+        s1 = VQModel(cfg.first_stage, dtype=jnp.bfloat16)
+        H, W = cfg.first_stage.cam_res
+        imgs = jnp.asarray(rng.normal(0, 1, (batch_size, H, W, 3)),
+                           jnp.float32)
+        if mode == "stage1_recon":
+            p1 = s1.init(jax.random.PRNGKey(0), imgs[:1])
+            fn = jax.jit(lambda p, x: s1.apply(p, x)[0])
+            run = lambda: fn(p1, imgs)
+        else:
+            disc = NLayerDiscriminator(dtype=jnp.bfloat16)
+            s1state, tx_ae, tx_disc = stage1_trainer.create_stage1_state(
+                s1, disc, jax.random.PRNGKey(0), imgs[:1], lr=1e-4)
+            step1 = jax.jit(stage1_trainer.make_vqgan_train_step(
+                s1, disc, tx_ae, tx_disc))
+            run = lambda: step1(s1state, imgs, key)
         from bevgen_tpu.models.stage2 import ar as ar_mod
         from bevgen_tpu.models.stage2.ar_cached import ar_sample_cached
         from bevgen_tpu.models.stage2.gpt import SparseGPT
