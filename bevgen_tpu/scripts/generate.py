@@ -71,7 +71,8 @@ def main(argv=None):
 
     run = jax.jit(lambda p, s, ii, ei, r, init: pipe.generate_fn(
         p, s, ii, ei, r, init_ids=init))
-    writer = GenerationWriter(save_dir, layout=layout)
+    # background writer: JPEG encode/IO overlaps the next device batch
+    writer = GenerationWriter(save_dir, layout=layout, background=True)
     rng = jax.random.PRNGKey(seed)
 
     recon = None
@@ -111,6 +112,7 @@ def main(argv=None):
                            rec_images=rec)
         n_done += images.shape[0] * images.shape[1]
         print(f"batch {i}: {images.shape[0]} scenes -> {save_dir}")
+    writer.flush()
     dt = time.perf_counter() - t_start
     print(json.dumps({"images": n_done, "seconds": round(dt, 2),
                       "images_per_sec": round(n_done / dt, 3) if dt else 0}))

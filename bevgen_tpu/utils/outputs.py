@@ -29,16 +29,35 @@ from bevgen_tpu.utils.viz import scene_figure, viz_bev
 class GenerationWriter:
     def __init__(self, save_dir: str, rand_str: bool = False,
                  save_viz: bool = True, denormalize: bool = True,
-                 rank: int = 0, layout: str = "argoverse"):
+                 rank: int = 0, layout: str = "argoverse",
+                 background: bool = False):
         """layout='argoverse' writes sample/ sample_gt/; 'nuscenes'
         writes the flat gen/ gt/ rec/ trees (callback.py's nuScenes
-        mode, consumed by metrics_eval's nuScenes path)."""
+        mode, consumed by metrics_eval's nuScenes path).
+
+        background=True moves JPEG encode/IO to a writer thread so the
+        serving loop can dispatch the next device batch immediately
+        (the reference writes synchronously between batches); call
+        `flush()` before reading the tree or exiting."""
         self.save_dir = Path(save_dir)
         self.rand_str = rand_str
         self.save_viz = save_viz
         self.denormalize = denormalize
         self.rank = rank
         self.layout = layout
+        self._executor = None
+        self._pending = []
+        if background:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="genwriter")
+
+    def flush(self):
+        """Block until every queued write has finished; re-raise the
+        first writer-thread error."""
+        for f in self._pending:
+            f.result()
+        self._pending = []
 
     def _token(self, token: str) -> str:
         if self.rand_str:
@@ -55,7 +74,22 @@ class GenerationWriter:
         sample_token). rec_images: optional stage-1 reconstructions of
         the GT (the reference log_images' 'rec' output,
         cond_transformer_multi_view_muse.py:283).
-        Returns the written sample dirs."""
+        Returns the written sample dirs (background mode: queues the
+        work and returns [] — flush() to complete)."""
+        if self._executor is not None:
+            # materialize device arrays on THIS thread (host transfer),
+            # hand the pure-IO tail to the pool
+            args = (np.asarray(gen_images), dict(batch),
+                    None if gt_images is None else np.asarray(gt_images),
+                    None if rec_images is None else np.asarray(rec_images))
+            self._pending.append(
+                self._executor.submit(self._write_batch_sync, *args))
+            return []
+        return self._write_batch_sync(gen_images, batch, gt_images,
+                                      rec_images)
+
+    def _write_batch_sync(self, gen_images, batch, gt_images=None,
+                          rec_images=None):
         gen = np.asarray(gen_images, np.float32)
         if self.denormalize:
             gen = denormalize_image(gen)

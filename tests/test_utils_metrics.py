@@ -167,3 +167,32 @@ def test_preprocess_synthetic_log(tmp_path):
     assert layers[..., 6].sum() > 0      # stopline
     # vehicle ahead of ego -> top half after flipud
     assert np.nonzero(layers[..., 0])[0].max() < 128
+
+
+def test_generation_writer_background(tmp_path):
+    """background=True queues IO to a writer thread; flush() completes
+    the tree identically to the synchronous path."""
+    import numpy as np
+    from bevgen_tpu.utils.outputs import GenerationWriter
+
+    rng = np.random.default_rng(0)
+    gen = rng.uniform(0, 1, (2, 3, 16, 16, 3)).astype(np.float32)
+    batch = {
+        "sample_token": ["tok_a", "tok_b"],
+        "cam_name": [["c0", "c0"], ["c1", "c1"], ["c2", "c2"]],
+        "segmentation": rng.uniform(0, 1, (2, 8, 8, 7)).astype(np.float32),
+    }
+    w = GenerationWriter(str(tmp_path), denormalize=False, save_viz=False,
+                         background=True)
+    assert w.write_batch(gen, batch) == []   # queued, not yet written
+    w.flush()
+    for tok in ("tok_a", "tok_b"):
+        assert (tmp_path / "sample" / tok / "c0.jpg").exists()
+        assert (tmp_path / "sample" / tok / "bev.npz").exists()
+    # errors surface on flush
+    bad = dict(batch)
+    bad.pop("segmentation")
+    w.write_batch(gen, bad)
+    import pytest
+    with pytest.raises(KeyError):
+        w.flush()
