@@ -94,8 +94,12 @@ def make_vqgan_train_step(model: VQModel, disc: NLayerDiscriminator,
         _, g_cot = jax.vjp(g_of, xr2)
         nll_grad = dec_vjp(nll_cot(jnp.float32(1.0))[0])[0]
         g_grad = dec_vjp(g_cot(jnp.float32(1.0))[0])[0]
-        d_weight = losses.adaptive_disc_weight(
-            jnp.linalg.norm(nll_grad), jnp.linalg.norm(g_grad))
+        # the weight is a DETACHED statistic (taming vqgan.py:176
+        # d_weight.detach()): stop_gradient keeps the outer jax.grad
+        # from differentiating through these vjps (second-order chains
+        # that ballooned the step ~100x when left attached)
+        d_weight = jax.lax.stop_gradient(losses.adaptive_disc_weight(
+            jnp.linalg.norm(nll_grad), jnp.linalg.norm(g_grad)))
 
         out = losses.vqgan_generator_loss(
             qloss, x, xrec, logits_fake, perceptual, step,
