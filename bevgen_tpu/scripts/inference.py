@@ -87,6 +87,8 @@ def main(argv=None):
             step1 = jax.jit(stage1_trainer.make_vqgan_train_step(
                 s1, disc, tx_ae, tx_disc))
             run = lambda: step1(s1state, imgs, key)
+    elif mode in ("ar_train", "ar_decode", "ar_decode_int8",
+                  "ar_decode_full"):
         from bevgen_tpu.models.stage2 import ar as ar_mod
         from bevgen_tpu.models.stage2.ar_cached import ar_sample_cached
         from bevgen_tpu.models.stage2.gpt import SparseGPT
