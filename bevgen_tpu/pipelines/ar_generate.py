@@ -1,0 +1,104 @@
+"""End-to-end AR generation pipeline: BEV raster -> tokens -> images.
+
+The legacy/nuScenes counterpart of pipelines/generate.BEVGenPipeline —
+the reference serves this path through the same Net2Net interface with
+`model=stage_2` (cond_transformer_multi_view.py:155-227 sampling). Here:
+BEV VQ-VAE encode -> KV-cached AR decode in outward order
+(models/stage2/ar_cached.py) -> RGB VQ-GAN decode, one jitted program.
+
+Supports the int8-weight serving tree (ops/quant.quantize_gpt_tree) and
+partial decoding via init_ids (keep chosen cameras' GT tokens).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bevgen_tpu.core.config import PipelineConfig
+from bevgen_tpu.models.stage1.vq import VQModel, VQSegmentationModel
+from bevgen_tpu.models.stage2 import ar_cached
+from bevgen_tpu.models.stage2.gpt import SparseGPT
+
+
+class ARPipeline(NamedTuple):
+    config: PipelineConfig
+    first_stage: VQModel
+    cond_stage: VQSegmentationModel
+    gpt: SparseGPT
+
+    @classmethod
+    def create(cls, config: PipelineConfig, dtype=None) -> "ARPipeline":
+        dtype = dtype or jnp.dtype(config.dtype)
+        return cls(
+            config=config,
+            first_stage=VQModel(config.first_stage, dtype=dtype),
+            cond_stage=VQSegmentationModel(config.cond_stage, dtype=dtype),
+            gpt=SparseGPT(config.transformer, dtype=dtype),
+        )
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        import numpy as np
+        from bevgen_tpu.models import geometry
+        cfg = self.config.transformer
+        r1, r2, r3 = jax.random.split(rng, 3)
+        b, cam = 1, cfg.num_cams
+        H, W = cfg.cam_res
+        bev = self.config.cond_stage.resolution
+        n_labels = self.config.cond_stage.in_channels
+        ids = jnp.zeros((b, cam, cfg.num_cam_tokens), jnp.int32)
+        cond = jnp.zeros((b, cfg.num_cond_tokens), jnp.int32)
+        intr, extr = geometry.canonical_camera_rig(cfg)
+        ii = jnp.asarray(np.broadcast_to(np.linalg.inv(intr)[None],
+                                         (b, cam, 3, 3)), jnp.float32)
+        ei = jnp.asarray(np.broadcast_to(np.linalg.inv(extr)[None],
+                                         (b, cam, 4, 4)), jnp.float32)
+        return {
+            "first_stage": self.first_stage.init(r1, jnp.zeros((b, H, W, 3))),
+            "cond_stage": self.cond_stage.init(
+                r2, jnp.zeros((b, bev, bev, n_labels))),
+            "gpt": self.gpt.init(r3, ids, cond, ii, ei),
+        }
+
+    def quantized(self, params):
+        """int8-weight GPT serving tree (kept bf16 compute)."""
+        from bevgen_tpu.ops.quant import quantize_gpt_tree
+        qparams = dict(params)
+        qparams["gpt"] = jax.tree_util.tree_map(
+            jnp.asarray, {"params": quantize_gpt_tree(
+                params["gpt"]["params"])})
+        return self, qparams
+
+    def encode_bev(self, params, segmentation) -> jnp.ndarray:
+        enc = self.cond_stage.apply(params["cond_stage"], segmentation,
+                                    method=VQSegmentationModel.encode)
+        return enc.indices.reshape(segmentation.shape[0], -1)
+
+    def encode_images(self, params, images) -> jnp.ndarray:
+        """(b, cam, H, W, 3) -> (b, cam, hw) tokens (partial decoding)."""
+        b, cam = images.shape[:2]
+        flat = images.reshape((b * cam,) + images.shape[2:])
+        enc = self.first_stage.apply(params["first_stage"], flat,
+                                     method=VQModel.encode)
+        return enc.indices.reshape(b, cam, -1)
+
+    def decode_tokens(self, params, ids) -> jnp.ndarray:
+        b, cam, h, w = ids.shape
+        img = self.first_stage.apply(params["first_stage"],
+                                     ids.reshape(b * cam, h, w),
+                                     method=VQModel.decode_code)
+        return img.reshape(b, cam, *img.shape[1:])
+
+    def generate_fn(self, params, segmentation, intrinsics_inv,
+                    extrinsics_inv, rng, temperature: float = 1.0,
+                    top_k: Optional[int] = 100,
+                    init_ids: Optional[jnp.ndarray] = None):
+        """BEV raster in, camera images out (KV-cached decode). Jit this."""
+        cond_ids = self.encode_bev(params, segmentation)
+        ids = ar_cached.ar_sample_cached(
+            self.gpt, params["gpt"], cond_ids, intrinsics_inv,
+            extrinsics_inv, rng, temperature=temperature, top_k=top_k,
+            init_ids=init_ids)
+        images = self.decode_tokens(params, ids)
+        return images, ids

@@ -49,14 +49,26 @@ def main(argv=None):
     # partial decoding: keep these cameras' GT tokens fixed and only
     # regenerate the rest (cond_transformer_multi_view_muse.py:125-132)
     keep_cameras = [c for c in args.pop("keep_cameras", "").split(",") if c]
+    # pipeline=muse (default, MaskGit) | ar (KV-cached sparse GPT — the
+    # reference's legacy cond_transformer_multi_view sampling path);
+    # quant=int8 switches to the int8 serving tree
+    pipeline = args.pop("pipeline", "muse")
+    quant = args.pop("quant", "none")
     if args:
         print(f"[generate] ignoring unknown args: {sorted(args)}")
 
-    pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
+    if pipeline == "ar":
+        from bevgen_tpu.pipelines.ar_generate import ARPipeline
+        pipe = ARPipeline.create(cfg, dtype=jnp.bfloat16)
+    else:
+        pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
     params = pipe.init_params(jax.random.PRNGKey(seed))
     if ckpt_path:
         params = load_weights(ckpt_path, params)
         print(f"loaded weights from {ckpt_path}")
+    if quant == "int8":
+        # quantize AFTER loading weights (host-side tree conversion)
+        pipe, params = pipe.quantized(params)
 
     if fake:
         batches = [fake_batch(cfg, batch_size, seed=seed + i)

@@ -174,3 +174,35 @@ def test_sharded_generation_int8_multichip(tiny_pipe):
     assert images.shape[:2] == (4, cfg.num_cams)
     arr = np.asarray(ids)
     assert (arr >= 0).all() and (arr < cfg.vocab_size).all()
+
+
+def test_ar_pipeline_end_to_end():
+    """ARPipeline: BEV encode -> KV-cached AR decode -> VQ decode, plus
+    the int8-weight serving tree (the legacy reference path served
+    through cond_transformer_multi_view.py:155-227)."""
+    import jax
+    import jax.numpy as jnp
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.data.fake import fake_batch
+    from bevgen_tpu.pipelines.ar_generate import ARPipeline
+
+    cfg = tiny_test_config()
+    pipe = ARPipeline.create(cfg, dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    batch = fake_batch(cfg, batch_size=1)
+    args = (jnp.asarray(batch["segmentation"]),
+            jnp.asarray(batch["intrinsics_inv"]),
+            jnp.asarray(batch["extrinsics_inv"]))
+    images, ids = jax.jit(pipe.generate_fn)(params, *args,
+                                            jax.random.PRNGKey(1))
+    tf = cfg.transformer
+    assert images.shape == (1, tf.num_cams, *tf.cam_res, 3)
+    arr = np.asarray(ids)
+    assert (arr >= 0).all() and (arr < tf.vocab_size).all()
+
+    qpipe, qparams = pipe.quantized(params)
+    images_q, ids_q = jax.jit(qpipe.generate_fn)(qparams, *args,
+                                                 jax.random.PRNGKey(1))
+    assert images_q.shape == images.shape
+    arr_q = np.asarray(ids_q)
+    assert (arr_q >= 0).all() and (arr_q < tf.vocab_size).all()
