@@ -203,3 +203,46 @@ def test_curate_different_mode(tmp_path):
     toks = curate.different_scores(tmp_path / "bev", top=2)
     assert len(toks) == 2
     assert "log1_3" in toks  # the dissimilar raster must be selected
+
+
+def test_distributed_helpers_single_host():
+    """Multi-host plumbing degrades to no-ops on one host
+    (parallel/distributed.py; reference rank_zero_only semantics)."""
+    from bevgen_tpu.parallel import distributed as dist
+
+    assert dist.process_index() == 0
+    assert dist.is_main_process()
+
+    calls = []
+
+    @dist.rank_zero
+    def log(x):
+        calls.append(x)
+        return x
+
+    assert log(3) == 3 and calls == [3]
+
+    # initialize is a no-op below 2 processes
+    dist.initialize(num_processes=1)
+
+    s = dist.host_shard_indices(10)
+    assert (s.start, s.stop) == (0, 10)
+
+
+def test_host_shard_indices_partition():
+    """The per-host slices tile [0, n) without gaps for any process
+    layout (simulated via monkeypatched process index/count)."""
+    import bevgen_tpu.parallel.distributed as dist
+    import jax
+
+    orig_idx, orig_cnt = jax.process_index, jax.process_count
+    try:
+        jax.process_count = lambda: 3
+        covered = []
+        for p in range(3):
+            jax.process_index = lambda p=p: p
+            s = dist.host_shard_indices(10)
+            covered.extend(range(s.start, s.stop))
+        assert covered == list(range(10))
+    finally:
+        jax.process_index, jax.process_count = orig_idx, orig_cnt
