@@ -258,6 +258,18 @@ def canonical_camera_rig(cfg: MultiViewConfig) -> Tuple[np.ndarray, np.ndarray]:
     return intr, extr
 
 
+def canonical_rig_inverses(cfg: MultiViewConfig, batch: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched (intrinsics_inv (b,cam,3,3), extrinsics_inv (b,cam,4,4))
+    float32 of the canonical rig — the model-input form of the batch
+    dict (SURVEY §7 batch schema)."""
+    intr, extr = canonical_camera_rig(cfg)
+    n = cfg.num_cams
+    ii = np.broadcast_to(np.linalg.inv(intr)[None], (batch, n, 3, 3))
+    ei = np.broadcast_to(np.linalg.inv(extr)[None], (batch, n, 4, 4))
+    return ii.astype(np.float32), ei.astype(np.float32)
+
+
 @lru_cache(maxsize=64)
 def image_direction_vectors(cfg: MultiViewConfig) -> np.ndarray:
     """Unit ego-frame ray direction for every image token,

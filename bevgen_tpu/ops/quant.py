@@ -91,18 +91,28 @@ class QuantDense(nn.Module):
         return int8_matmul(x_q, x_scale, w_q, w_scale, self.dtype)
 
 
-def quantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):
-    """Replace {'kernel'} with {'kernel_q', 'scale'} for every module in
-    `layer_names` anywhere in a flax param dict (host-side, numpy)."""
+def _map_named_modules(params, layer_names: Sequence[str], key: str,
+                       transform):
+    """Host-side walk of a flax param dict: for every sub-dict whose
+    module name is in `layer_names` and that holds a 2-D `key` array,
+    replace it with transform(subdict)."""
     def rec(node, name):
         if isinstance(node, dict):
-            if (name in layer_names and set(node) == {"kernel"}
-                    and np.ndim(node["kernel"]) == 2):
-                q, s = quantize_weight(np.asarray(node["kernel"]))
-                return {"kernel_q": q, "scale": s}
+            if (name in layer_names and key in node
+                    and np.ndim(node[key]) == 2):
+                return transform(node)
             return {k: rec(v, k) for k, v in node.items()}
         return node
     return rec(jax.tree_util.tree_map(np.asarray, params), "")
+
+
+def quantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):
+    """Replace {'kernel'} with {'kernel_q', 'scale'} for every module in
+    `layer_names` anywhere in a flax param dict (host-side, numpy)."""
+    def quant(node):
+        q, s = quantize_weight(node["kernel"])
+        return {"kernel_q": q, "scale": s}
+    return _map_named_modules(params, layer_names, "kernel", quant)
 
 
 # AR sparse-GPT dense layers (models/stage2/gpt.py tree — NB its
@@ -117,27 +127,21 @@ GPT_QUANT_LAYER_NAMES = ("query", "key", "value", "mlp_fc",
 def quantize_gpt_tree(params):
     """int8-quantize the AR GPT's dense kernels in place (keeps biases):
     {'kernel': W, ...} -> {'kernel_q', 'scale', ...}."""
-    def rec(node, name):
-        if isinstance(node, dict):
-            if (name in GPT_QUANT_LAYER_NAMES and "kernel" in node
-                    and np.ndim(node["kernel"]) == 2):
-                q, s = quantize_weight(np.asarray(node["kernel"]))
-                out = {k: v for k, v in node.items() if k != "kernel"}
-                out.update(kernel_q=q, scale=s)
-                return out
-            return {k: rec(v, k) for k, v in node.items()}
-        return node
-    return rec(jax.tree_util.tree_map(np.asarray, params), "")
+    def quant(node):
+        q, s = quantize_weight(node["kernel"])
+        out = {k: v for k, v in node.items() if k != "kernel"}
+        out.update(kernel_q=q, scale=s)
+        return out
+    return _map_named_modules(params, GPT_QUANT_LAYER_NAMES, "kernel", quant)
 
 
 def dequantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):
     """Inverse structure map (lossy): kernel_q*scale -> kernel fp32."""
-    def rec(node, name):
-        if isinstance(node, dict):
-            if name in layer_names and set(node) == {"kernel_q", "scale"}:
-                k = (np.asarray(node["kernel_q"], np.float32) *
-                     np.asarray(node["scale"], np.float32))
-                return {"kernel": k}
-            return {k: rec(v, k) for k, v in node.items()}
-        return node
-    return rec(jax.tree_util.tree_map(np.asarray, params), "")
+    def dequant(node):
+        k = (node["kernel_q"].astype(np.float32) *
+             node["scale"].astype(np.float32))
+        out = {k2: v for k2, v in node.items()
+               if k2 not in ("kernel_q", "scale")}
+        out["kernel"] = k
+        return out
+    return _map_named_modules(params, layer_names, "kernel_q", dequant)

@@ -20,6 +20,7 @@ from bevgen_tpu.core.config import PipelineConfig
 from bevgen_tpu.models.stage1.vq import VQModel, VQSegmentationModel
 from bevgen_tpu.models.stage2 import ar_cached
 from bevgen_tpu.models.stage2.gpt import SparseGPT
+from bevgen_tpu.pipelines import generate as generate_mod
 
 
 class ARPipeline(NamedTuple):
@@ -39,7 +40,6 @@ class ARPipeline(NamedTuple):
         )
 
     def init_params(self, rng) -> Dict[str, Any]:
-        import numpy as np
         from bevgen_tpu.models import geometry
         cfg = self.config.transformer
         r1, r2, r3 = jax.random.split(rng, 3)
@@ -49,11 +49,7 @@ class ARPipeline(NamedTuple):
         n_labels = self.config.cond_stage.in_channels
         ids = jnp.zeros((b, cam, cfg.num_cam_tokens), jnp.int32)
         cond = jnp.zeros((b, cfg.num_cond_tokens), jnp.int32)
-        intr, extr = geometry.canonical_camera_rig(cfg)
-        ii = jnp.asarray(np.broadcast_to(np.linalg.inv(intr)[None],
-                                         (b, cam, 3, 3)), jnp.float32)
-        ei = jnp.asarray(np.broadcast_to(np.linalg.inv(extr)[None],
-                                         (b, cam, 4, 4)), jnp.float32)
+        ii, ei = map(jnp.asarray, geometry.canonical_rig_inverses(cfg, b))
         return {
             "first_stage": self.first_stage.init(r1, jnp.zeros((b, H, W, 3))),
             "cond_stage": self.cond_stage.init(
@@ -70,25 +66,17 @@ class ARPipeline(NamedTuple):
                 params["gpt"]["params"])})
         return self, qparams
 
+    # stage-1 wrappers shared with BEVGenPipeline (pipelines/generate.py)
     def encode_bev(self, params, segmentation) -> jnp.ndarray:
-        enc = self.cond_stage.apply(params["cond_stage"], segmentation,
-                                    method=VQSegmentationModel.encode)
-        return enc.indices.reshape(segmentation.shape[0], -1)
+        return generate_mod.encode_bev_fn(self.cond_stage, params,
+                                          segmentation)
 
     def encode_images(self, params, images) -> jnp.ndarray:
-        """(b, cam, H, W, 3) -> (b, cam, hw) tokens (partial decoding)."""
-        b, cam = images.shape[:2]
-        flat = images.reshape((b * cam,) + images.shape[2:])
-        enc = self.first_stage.apply(params["first_stage"], flat,
-                                     method=VQModel.encode)
-        return enc.indices.reshape(b, cam, -1)
+        return generate_mod.encode_images_fn(self.first_stage, params,
+                                             images)
 
     def decode_tokens(self, params, ids) -> jnp.ndarray:
-        b, cam, h, w = ids.shape
-        img = self.first_stage.apply(params["first_stage"],
-                                     ids.reshape(b * cam, h, w),
-                                     method=VQModel.decode_code)
-        return img.reshape(b, cam, *img.shape[1:])
+        return generate_mod.decode_tokens_fn(self.first_stage, params, ids)
 
     def generate_fn(self, params, segmentation, intrinsics_inv,
                     extrinsics_inv, rng, temperature: float = 1.0,

@@ -18,6 +18,31 @@ from bevgen_tpu.models.stage1.vq import VQModel, VQSegmentationModel
 from bevgen_tpu.models.stage2.maskgit import MaskGit, generate as maskgit_generate
 
 
+def encode_bev_fn(cond_stage, params, segmentation) -> jnp.ndarray:
+    """(b, bev, bev, n_labels) -> (b, num_cond) int32 tokens
+    (cond_transformer_multi_view_muse.py:149-155)."""
+    enc = cond_stage.apply(params["cond_stage"], segmentation,
+                           method=VQSegmentationModel.encode)
+    return enc.indices.reshape(segmentation.shape[0], -1)
+
+
+def encode_images_fn(first_stage, params, images) -> jnp.ndarray:
+    """(b, cam, H, W, 3) -> (b, cam, hw) tokens."""
+    b, cam = images.shape[:2]
+    flat = images.reshape((b * cam,) + images.shape[2:])
+    enc = first_stage.apply(params["first_stage"], flat,
+                            method=VQModel.encode)
+    return enc.indices.reshape(b, cam, -1)
+
+
+def decode_tokens_fn(first_stage, params, ids) -> jnp.ndarray:
+    """(b, cam, h, w) int32 -> (b, cam, H, W, 3) images."""
+    b, cam, h, w = ids.shape
+    img = first_stage.apply(params["first_stage"], ids.reshape(b * cam, h, w),
+                            method=VQModel.decode_code)
+    return img.reshape(b, cam, *img.shape[1:])
+
+
 class BEVGenPipeline(NamedTuple):
     """Bundles the three models + their configs. Params are kept as a
     single dict {'first_stage': ..., 'cond_stage': ..., 'maskgit': ...}."""
@@ -56,31 +81,16 @@ class BEVGenPipeline(NamedTuple):
                                          method=MaskGit.init_all),
         }
 
-    # ---- stage-1 wrappers -------------------------------------------------
+    # ---- stage-1 wrappers (shared with ARPipeline) ------------------------
 
     def encode_bev(self, params, segmentation) -> jnp.ndarray:
-        """(b, bev, bev, n_labels) -> (b, num_cond) int32 tokens
-        (cond_transformer_multi_view_muse.py:149-155)."""
-        enc = self.cond_stage.apply(params["cond_stage"], segmentation,
-                                    method=VQSegmentationModel.encode)
-        b = segmentation.shape[0]
-        return enc.indices.reshape(b, -1)
+        return encode_bev_fn(self.cond_stage, params, segmentation)
 
     def encode_images(self, params, images) -> jnp.ndarray:
-        """(b, cam, H, W, 3) -> (b, cam, hw) tokens."""
-        b, cam = images.shape[:2]
-        flat = images.reshape((b * cam,) + images.shape[2:])
-        enc = self.first_stage.apply(params["first_stage"], flat,
-                                     method=VQModel.encode)
-        return enc.indices.reshape(b, cam, -1)
+        return encode_images_fn(self.first_stage, params, images)
 
     def decode_tokens(self, params, ids) -> jnp.ndarray:
-        """(b, cam, h, w) int32 -> (b, cam, H, W, 3) images."""
-        b, cam, h, w = ids.shape
-        flat = ids.reshape(b * cam, h, w)
-        img = self.first_stage.apply(params["first_stage"], flat,
-                                     method=VQModel.decode_code)
-        return img.reshape(b, cam, *img.shape[1:])
+        return decode_tokens_fn(self.first_stage, params, ids)
 
     # ---- the headline path ------------------------------------------------
 

@@ -41,13 +41,8 @@ def main(argv=None):
         jnp.int32)
     cond = jnp.asarray(rng.integers(
         0, tf.cond_vocab_size, (batch_size, tf.num_cond_tokens)), jnp.int32)
-    intr, extr = geometry.canonical_camera_rig(tf)
-    ii = jnp.asarray(np.broadcast_to(np.linalg.inv(intr)[None],
-                                     (batch_size, tf.num_cams, 3, 3)),
-                     jnp.float32)
-    ei = jnp.asarray(np.broadcast_to(np.linalg.inv(extr)[None],
-                                     (batch_size, tf.num_cams, 4, 4)),
-                     jnp.float32)
+    ii, ei = map(jnp.asarray,
+                 geometry.canonical_rig_inverses(tf, batch_size))
 
     key = jax.random.PRNGKey(1)
     # NB: params are always ARGUMENTS of the jitted fns — closing over

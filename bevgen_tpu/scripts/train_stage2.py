@@ -68,11 +68,7 @@ def main(argv=None):
     # ---- data ------------------------------------------------------------
     def fake_batches():
         rng = np.random.default_rng(seed)
-        intr, extr = geometry.canonical_camera_rig(tf)
-        ii = np.broadcast_to(np.linalg.inv(intr)[None],
-                             (batch_size, tf.num_cams, 3, 3)).astype(np.float32)
-        ei = np.broadcast_to(np.linalg.inv(extr)[None],
-                             (batch_size, tf.num_cams, 4, 4)).astype(np.float32)
+        ii, ei = geometry.canonical_rig_inverses(tf, batch_size)
         while True:
             yield {
                 "tokens": rng.integers(
