@@ -156,6 +156,11 @@ class MultiViewConfig:
     # (W8A8 on the v5e double-rate int8 MXU — ops/quant.py). Inference
     # only; training and golden tests stay bf16/fp32.
     quant: str = "none"
+    # None = auto (Pallas on single-TPU, dense XLA elsewhere). The
+    # sharded multi-chip paths force False: pallas_call is opaque to
+    # GSPMD, so under a mesh the fused kernel would replicate (or fail
+    # to partition) while the dense einsum path shards cleanly.
+    use_fused_attention: Optional[bool] = None
 
     def __post_init__(self):
         assert self.dataset in DATASETS, self.dataset

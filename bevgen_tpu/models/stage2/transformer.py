@@ -267,10 +267,12 @@ class MultiViewTransformer(nn.Module):
         for layer in range(cfg.num_layers):
             x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
                          dtype=self.dtype, quant=cfg.quant,
+                         use_fused=cfg.use_fused_attention,
                          name=f"layers_{layer}_attn")(
                              x, attn_bias=self_bias)
             x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
                          dtype=self.dtype, quant=cfg.quant,
+                         use_fused=cfg.use_fused_attention,
                          name=f"layers_{layer}_cross_attn")(
                              x, context=context,
                              context_mask=context_mask,

@@ -135,9 +135,21 @@ def make_jitted_generate(pipe: BEVGenPipeline):
 def make_sharded_generate(pipe: BEVGenPipeline, mesh):
     """Multi-chip serving: batch sharded over dp, attention/FFN weights
     over tp — the whole decode scan runs SPMD with XLA collectives over
-    ICI. Returns (jitted_fn, shard_params, shard_batch)."""
+    ICI. Returns (jitted_fn, shard_params, shard_batch).
+
+    Forces the dense XLA attention path: pallas_call is opaque to GSPMD
+    (no partitioning rule), so under a mesh the fused kernel would
+    replicate its operands; the einsum path shards cleanly over dp/tp.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from bevgen_tpu.parallel import sharding as shd
+
+    if mesh.size > 1 and pipe.config.transformer.use_fused_attention is None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            pipe.config, transformer=pipe.config.transformer.replace(
+                use_fused_attention=False))
+        pipe = BEVGenPipeline.create(cfg, dtype=pipe.maskgit.dtype)
 
     def shard_params(params):
         return jax.device_put(params, shd.param_shardings(params, mesh))
