@@ -50,13 +50,39 @@ def main(argv=None):
 
     s1cfg = cfg.first_stage if which == "cam" else cfg.cond_stage
     model = (VQModel if which == "cam" else VQSegmentationModel)(s1cfg)
-    # reference LR rule (generate.py:58)
-    lr = base_lr * batch_size * jax.device_count()
-    print(f"lr = {lr:.3e} (base {base_lr} x batch {batch_size} x "
-          f"{jax.device_count()} devices)")
+    # reference LR rule (generate.py:58); batch_size here is the global
+    # batch of this single-program loop, so no device factor
+    from bevgen_tpu.training.optim import scaled_lr
+    lr = scaled_lr(base_lr, batch_size)
+    print(f"lr = {lr:.3e} (base {base_lr} x batch {batch_size})")
+
+    real_loader = None
+    import os as _os
+    if _os.environ.get("ARGOVERSE_DATA_DIR"):
+        try:
+            from bevgen_tpu.data import datamodule as dm
+            from bevgen_tpu.data.argoverse import ArgoverseDataset
+            ds = ArgoverseDataset(split="train", cam_res=s1cfg.cam_res)
+            real_loader = iter(dm.DataLoader(ds, batch_size, shuffle=True,
+                                             seed=seed, drop_last=True,
+                                             num_workers=2))
+            print(f"training on ArgoverseDataset ({len(ds)} samples)")
+        except FileNotFoundError as e:
+            print(f"{e}; falling back to the fake fixture")
+
+    def next_real():
+        nonlocal real_loader
+        try:
+            return next(real_loader)
+        except StopIteration:
+            real_loader = iter(dm.DataLoader(ds, batch_size, shuffle=True,
+                                             seed=seed, drop_last=True,
+                                             num_workers=2))
+            return next(real_loader)
 
     def get_batch(i):
-        fb = fake_batch(cfg, batch_size, seed=seed + i)
+        fb = next_real() if real_loader is not None else fake_batch(
+            cfg, batch_size, seed=seed + i)
         if which == "cam":
             img = fb["image"]
             return img.reshape((-1,) + img.shape[2:])[:batch_size]
