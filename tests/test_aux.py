@@ -246,3 +246,17 @@ def test_host_shard_indices_partition():
         assert covered == list(range(10))
     finally:
         jax.process_index, jax.process_count = orig_idx, orig_cnt
+
+
+def test_edit_scene_cli(tmp_path):
+    """Headless scene editing end-to-end: edits -> raster -> generate ->
+    output tree (reference interactive_editing.py equivalent)."""
+    from bevgen_tpu.scripts import edit_scene
+
+    edits = ('[{"op":"add","category":"REGULAR_VEHICLE","x":10,"y":0,'
+             '"yaw":0.3,"length":4.5,"width":2.0}]')
+    edit_scene.main(["preset=tiny_test", f"out_dir={tmp_path}",
+                     f"edits={edits}", "muse.sample_iterations=2"])
+    assert (tmp_path / "sample" / "edited").exists()
+    jpgs = list((tmp_path / "sample" / "edited").glob("*.jpg"))
+    assert len(jpgs) == 3  # tiny_test has 3 cameras
