@@ -39,13 +39,16 @@ Dtype = Any
 
 
 class MaskGit(nn.Module):
-    """Transformer + optional self-critic head as one parameter tree."""
+    """Transformer + optional self-critic head as one parameter tree.
+    `mesh`: shard_map the attention cores for multi-chip SPMD."""
     cfg: MultiViewConfig
     muse: MuseConfig
     dtype: Dtype = jnp.float32
+    mesh: Any = None
 
     def setup(self):
         self.transformer = MultiViewTransformer(self.cfg, self.dtype,
+                                                mesh=self.mesh,
                                                 name="transformer")
         if self.muse.self_token_critic:
             self.critic = SelfCriticHead(self.dtype, name="critic")

@@ -85,6 +85,62 @@ class CosineAttention(nn.Module):
     dtype: Dtype = jnp.float32
     use_fused: Optional[bool] = None
     quant: str = "none"
+    # jax.sharding.Mesh for multi-chip SPMD: the attention core (incl.
+    # the Pallas kernel, which has no GSPMD partitioning rule) runs
+    # inside shard_map — batch over dp, heads over tp, per-shard local
+    # shapes. None = plain single-program path.
+    mesh: Any = None
+
+    def _attention_core(self, q, k, v, null_kv, q_scale, k_scale,
+                        attn_bias, keep):
+        """softmax(cos(q,k)*scale + bias) v with null-KV/CFG semantics.
+
+        q: (b, h, n, dh); k, v: (b, h, m, dh) WITHOUT the null column;
+        keep: (b,) bool/int CFG flag or None; attn_bias: (n, m) or None.
+        Dispatches the fused Pallas kernel on TPU, dense XLA elsewhere —
+        per shard when wrapped in shard_map (local shapes)."""
+        b, h = q.shape[0], q.shape[1]
+        use_fused = (self.use_fused if self.use_fused is not None
+                     else jax.default_backend() == "tpu")
+        if use_fused:
+            # the kernel runs the whole prologue (fp32 l2norm + learned
+            # scales + null-KV fold-in) in VMEM and keeps the null
+            # column visible to dropped-cond rows —
+            # ops/pallas/fused_attention.py
+            from bevgen_tpu.ops.pallas.fused_attention import (
+                make_cosine_attention)
+            fused = make_cosine_attention(sm_scale=self.scale)
+            out = fused(q, k, v.astype(self.dtype), null_kv, q_scale,
+                        k_scale, attn_bias, keep)
+        else:
+            dh = q.shape[-1]
+            nk = jnp.broadcast_to(null_kv[0][None],
+                                  (b, h, 1, dh)).astype(q.dtype)
+            nv = jnp.broadcast_to(null_kv[1][None],
+                                  (b, h, 1, dh)).astype(q.dtype)
+            k = jnp.concatenate([nk, k], axis=2)
+            v = jnp.concatenate([nv, v], axis=2)
+            # l2norm + learned scales in fp32, then back to the compute
+            # dtype so the MXU runs the similarity matmul at bf16 rate
+            # (values are unit-norm — well inside bf16 range)
+            qf = (l2norm(q) * q_scale).astype(self.dtype)
+            kf = (l2norm(k) * k_scale).astype(self.dtype)
+            # null-kv-padded shared bias (muse_maskgit_pytorch.py:155)
+            bias = (jnp.pad(attn_bias.astype(jnp.float32), ((0, 0), (1, 0)))
+                    if attn_bias is not None else None)
+            sim = jnp.einsum("bhid,bhjd->bhij", qf, kf,
+                             preferred_element_type=jnp.float32) * self.scale
+            if bias is not None:
+                sim = sim + bias[None, None]
+            if keep is not None:
+                # dropped-cond rows see only the null column 0
+                col = jnp.arange(sim.shape[-1])
+                valid = (keep[:, None] > 0) | (col[None] == 0)
+                sim = jnp.where(valid[:, None, None, :], sim, NEG_INF)
+            attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(self.dtype),
+                             preferred_element_type=jnp.float32)
+        return out.astype(self.dtype)
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, attn_bias=None):
@@ -110,47 +166,32 @@ class CosineAttention(nn.Module):
         q_scale = self.param("q_scale", nn.initializers.ones, (dh,), jnp.float32)
         k_scale = self.param("k_scale", nn.initializers.ones, (dh,), jnp.float32)
 
-        use_fused = (self.use_fused if self.use_fused is not None
-                     else jax.default_backend() == "tpu")
-        if use_fused:
-            # context_mask is per-sample constant by construction (CFG
-            # cond-drop, transformer.py) -> a single keep flag; the null
-            # column stays visible inside the kernel, which also runs
-            # the whole prologue (fp32 l2norm + learned scales + null-KV
-            # fold-in) in VMEM — see ops/pallas/fused_attention.py.
-            from bevgen_tpu.ops.pallas.fused_attention import (
-                make_cosine_attention)
-            keep = context_mask[:, 0] if context_mask is not None else None
-            fused = make_cosine_attention(sm_scale=self.scale)
-            out = fused(q, k, v.astype(self.dtype), null_kv, q_scale,
-                        k_scale, attn_bias, keep)
+        # context_mask is per-sample constant by construction (CFG
+        # cond-drop) -> a single keep flag per sample
+        keep = context_mask[:, 0] if context_mask is not None else None
+
+        if self.mesh is not None and self.mesh.size > 1:
+            # manual SPMD around the core: batch over dp, heads over tp
+            # (attention is embarrassingly parallel over both); operands
+            # get resharded to these specs at the boundary by GSPMD
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            spec = P("dp", "tp", None, None)
+            keep_arr = (jnp.ones((b,), jnp.float32) if keep is None
+                        else jnp.asarray(keep).astype(jnp.float32))
+            bias_arr = (jnp.zeros((n, m), jnp.float32) if attn_bias is None
+                        else jnp.asarray(attn_bias, jnp.float32))
+            out = shard_map(
+                lambda *a: self._attention_core(*a),
+                mesh=self.mesh,
+                in_specs=(spec, spec, spec, P(None, "tp", None, None),
+                          P(None), P(None), P(None, None), P("dp")),
+                out_specs=spec, check_rep=False,
+            )(q, k, v, null_kv, q_scale, k_scale, bias_arr, keep_arr)
         else:
-            nk = jnp.broadcast_to(null_kv[0][None],
-                                  (b, h, 1, dh)).astype(q.dtype)
-            nv = jnp.broadcast_to(null_kv[1][None],
-                                  (b, h, 1, dh)).astype(q.dtype)
-            k = jnp.concatenate([nk, k], axis=2)
-            v = jnp.concatenate([nv, v], axis=2)
-            # l2norm + learned scales in fp32, then back to the compute
-            # dtype so the MXU runs the similarity matmul at bf16 rate
-            # (values are unit-norm — well inside bf16 range)
-            qf = (l2norm(q) * q_scale).astype(self.dtype)
-            kf = (l2norm(k) * k_scale).astype(self.dtype)
-            # null-kv-padded shared bias (muse_maskgit_pytorch.py:155)
-            bias = (jnp.pad(attn_bias.astype(jnp.float32), ((0, 0), (1, 0)))
-                    if attn_bias is not None else None)
-            sim = jnp.einsum("bhid,bhjd->bhij", qf, kf,
-                             preferred_element_type=jnp.float32) * self.scale
-            if bias is not None:
-                sim = sim + bias[None, None]
-            if context_mask is not None:
-                cm = jnp.pad(context_mask, ((0, 0), (1, 0)),
-                             constant_values=True)
-                sim = jnp.where(cm[:, None, None, :], sim, NEG_INF)
-            attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(self.dtype),
-                             preferred_element_type=jnp.float32)
-        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, n, inner)
+            out = self._attention_core(q, k, v, null_kv, q_scale, k_scale,
+                                       attn_bias, keep)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return dense(self.dim, "to_out")(out)
 
 
@@ -181,9 +222,11 @@ class TransformerOutput(NamedTuple):
 
 class MultiViewTransformer(nn.Module):
     """The full stage-2 bidirectional transformer
-    (muse_maskgit_pytorch.py:204-384)."""
+    (muse_maskgit_pytorch.py:204-384). `mesh`: run every attention core
+    in shard_map over (dp, tp) — see CosineAttention.mesh."""
     cfg: MultiViewConfig
     dtype: Dtype = jnp.float32
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, ids, cond_ids, intrinsics_inv, extrinsics_inv,
@@ -268,11 +311,13 @@ class MultiViewTransformer(nn.Module):
             x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
                          dtype=self.dtype, quant=cfg.quant,
                          use_fused=cfg.use_fused_attention,
+                         mesh=self.mesh,
                          name=f"layers_{layer}_attn")(
                              x, attn_bias=self_bias)
             x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
                          dtype=self.dtype, quant=cfg.quant,
                          use_fused=cfg.use_fused_attention,
+                         mesh=self.mesh,
                          name=f"layers_{layer}_cross_attn")(
                              x, context=context,
                              context_mask=context_mask,

@@ -137,19 +137,18 @@ def make_sharded_generate(pipe: BEVGenPipeline, mesh):
     over tp — the whole decode scan runs SPMD with XLA collectives over
     ICI. Returns (jitted_fn, shard_params, shard_batch).
 
-    Forces the dense XLA attention path: pallas_call is opaque to GSPMD
-    (no partitioning rule), so under a mesh the fused kernel would
-    replicate its operands; the einsum path shards cleanly over dp/tp.
+    The attention cores run inside shard_map (batch over dp, heads over
+    tp): pallas_call has no GSPMD partitioning rule, so the fused kernel
+    must be invoked per-shard with local shapes rather than left opaque
+    inside the GSPMD program (where XLA would replicate its operands).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from bevgen_tpu.parallel import sharding as shd
 
-    if mesh.size > 1 and pipe.config.transformer.use_fused_attention is None:
-        import dataclasses
-        cfg = dataclasses.replace(
-            pipe.config, transformer=pipe.config.transformer.replace(
-                use_fused_attention=False))
-        pipe = BEVGenPipeline.create(cfg, dtype=pipe.maskgit.dtype)
+    if mesh.size > 1:
+        pipe = pipe._replace(maskgit=MaskGit(
+            pipe.maskgit.cfg, pipe.maskgit.muse, pipe.maskgit.dtype,
+            mesh=mesh))
 
     def shard_params(params):
         return jax.device_put(params, shd.param_shardings(params, mesh))

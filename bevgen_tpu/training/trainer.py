@@ -110,12 +110,12 @@ def make_sharded_train_step(model: MaskGit, tx, mesh: Mesh,
     Returns (jitted_step, sharded_state): params replicated / TP-sharded,
     optimizer moments ZeRO-sharded over dp, batch sharded over dp.
 
-    Forces the dense XLA attention path under a real mesh — pallas_call
-    has no GSPMD partitioning rule (see pipelines.make_sharded_generate).
+    Runs the attention cores inside shard_map under a real mesh —
+    pallas_call has no GSPMD partitioning rule (see
+    pipelines.make_sharded_generate).
     """
-    if mesh.size > 1 and model.cfg.use_fused_attention is None:
-        model = MaskGit(model.cfg.replace(use_fused_attention=False),
-                        model.muse, model.dtype)
+    if mesh.size > 1:
+        model = MaskGit(model.cfg, model.muse, model.dtype, mesh=mesh)
     step_fn = make_train_step(model, tx, ema_decay, ema_every=ema_every)
 
     param_sh = shd.param_shardings(state.params, mesh)
