@@ -58,6 +58,12 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*(to_out|proj_out)/kernel(_q)?$", P("tp", None)),
     (r".*to_logits/kernel(_q)?$", P(None, "tp")),
     (r".*(to_q|to_kv|proj_in|to_logits)/scale$", P("tp")),
+    # AR sparse GPT (models/stage2/gpt.py): qkv + mlp_fc column-parallel,
+    # mlp_proj row-parallel, head column-parallel (its attention has no
+    # out-projection, so the attention all-reduce folds into mlp_proj's)
+    (r".*(query|key|value|mlp_fc|head)/kernel(_q)?$", P(None, "tp")),
+    (r".*mlp_proj/kernel(_q)?$", P("tp", None)),
+    (r".*(query|key|value|mlp_fc|head)/scale$", P("tp")),
     (r".*(token_emb|cond_token_emb|pos_emb|cond_pos_emb)/embedding$",
      P(None, None)),
 )

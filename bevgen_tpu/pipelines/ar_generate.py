@@ -90,3 +90,29 @@ class ARPipeline(NamedTuple):
             init_ids=init_ids)
         images = self.decode_tokens(params, ids)
         return images, ids
+
+
+def make_sharded_ar_generate(pipe: ARPipeline, mesh):
+    """Multi-chip AR serving: batch over dp, GPT weights over tp (the
+    cached decoder is pure jnp, so GSPMD partitions it directly — no
+    pallas opacity to work around). Returns (jitted_fn, shard_params,
+    shard_batch), mirroring pipelines.generate.make_sharded_generate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bevgen_tpu.parallel import sharding as shd
+
+    def shard_params(params):
+        return jax.device_put(params, shd.param_shardings(params, mesh))
+
+    batch_sh = NamedSharding(mesh, P("dp"))
+    rng_sh = NamedSharding(mesh, P())
+
+    jitted = jax.jit(
+        lambda params, seg, ii, ei, rng: pipe.generate_fn(
+            params, seg, ii, ei, rng),
+        in_shardings=(None, batch_sh, batch_sh, batch_sh, rng_sh),
+    )
+
+    def shard_batch(*arrays):
+        return tuple(jax.device_put(a, batch_sh) for a in arrays)
+
+    return jitted, shard_params, shard_batch

@@ -206,3 +206,38 @@ def test_ar_pipeline_end_to_end():
     assert images_q.shape == images.shape
     arr_q = np.asarray(ids_q)
     assert (arr_q >= 0).all() and (arr_q < tf.vocab_size).all()
+
+
+def test_sharded_ar_generation_multichip():
+    """AR serving SPMD over dp x tp: GPT qkv/mlp kernels follow the TP
+    rules and the cached decode runs under GSPMD."""
+    import jax
+    import jax.numpy as jnp
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.parallel import sharding as shd
+    from bevgen_tpu.pipelines.ar_generate import (ARPipeline,
+                                                  make_sharded_ar_generate)
+
+    cfg = tiny_test_config()
+    pipe = ARPipeline.create(cfg, dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    mesh = shd.make_mesh(dp=4, tp=2)
+
+    shardings = shd.param_shardings(params["gpt"], mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    tp_paths = [shd._path_str(p) for p, s in flat if "tp" in str(s.spec)]
+    assert any("query" in p for p in tp_paths), tp_paths[:5]
+    assert any("mlp_proj" in p for p in tp_paths)
+
+    batch = fake_batch(cfg, batch_size=4)
+    run, shard_params, shard_batch = make_sharded_ar_generate(pipe, mesh)
+    with mesh:
+        p = shard_params(params)
+        seg, ii, ei = shard_batch(jnp.asarray(batch["segmentation"]),
+                                  jnp.asarray(batch["intrinsics_inv"]),
+                                  jnp.asarray(batch["extrinsics_inv"]))
+        images, ids = run(p, seg, ii, ei, jax.random.PRNGKey(0))
+    tf = cfg.transformer
+    assert images.shape[:2] == (4, tf.num_cams)
+    arr = np.asarray(ids)
+    assert (arr >= 0).all() and (arr < tf.vocab_size).all()
