@@ -205,3 +205,42 @@ def test_scaled_lr_rule():
     from bevgen_tpu.training.optim import scaled_lr
     assert scaled_lr(1e-4, batch_size=8, num_devices=4,
                      accumulate_steps=2) == 1e-4 * 8 * 4 * 2
+
+
+def test_sharded_train_step_with_remat():
+    """remat (jax.checkpoint) composes with the shard_map attention
+    cores under a dp x tp mesh."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.models import geometry
+    from bevgen_tpu.models.stage2.maskgit import MaskGit
+    from bevgen_tpu.parallel import sharding as shd
+    from bevgen_tpu.training import optim as opt_mod, trainer
+
+    pipe_cfg = tiny_test_config()
+    cfg = pipe_cfg.transformer.replace(remat=True)
+    model = MaskGit(cfg, pipe_cfg.muse)
+    mesh = shd.make_mesh(dp=4, tp=2)
+
+    b = 4
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(
+        0, cfg.vocab_size, (b, cfg.num_cams, cfg.num_cam_tokens)), jnp.int32)
+    cond = jnp.asarray(rng.integers(
+        0, cfg.cond_vocab_size, (b, cfg.num_cond_tokens)), jnp.int32)
+    ii, ei = map(jnp.asarray, geometry.canonical_rig_inverses(cfg, b))
+    batch = {"tokens": tokens, "cond_ids": cond,
+             "intrinsics_inv": ii, "extrinsics_inv": ei}
+
+    params = model.init(jax.random.PRNGKey(0), tokens, cond, ii, ei,
+                        method=MaskGit.init_all)
+    tx = opt_mod.maskgit_optimizer(1e-4, warmup_steps=2, total_steps=10,
+                                   params_example=params["params"])
+    state = trainer.create_train_state(params, tx)
+    step_fn, state = trainer.make_sharded_train_step(model, tx, mesh, state)
+    with mesh:
+        sharded = shd.shard_batch(batch, mesh)
+        state, metrics = step_fn(state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
