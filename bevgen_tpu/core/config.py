@@ -156,10 +156,11 @@ class MultiViewConfig:
     # (W8A8 on the v5e double-rate int8 MXU — ops/quant.py). Inference
     # only; training and golden tests stay bf16/fp32.
     quant: str = "none"
-    # None = auto (Pallas on single-TPU, dense XLA elsewhere). The
-    # sharded multi-chip paths force False: pallas_call is opaque to
-    # GSPMD, so under a mesh the fused kernel would replicate (or fail
-    # to partition) while the dense einsum path shards cleanly.
+    # None = auto: Pallas on TPU backends, dense XLA elsewhere. Under a
+    # multi-device mesh the attention core (either implementation) runs
+    # inside shard_map with per-shard local shapes — pallas_call has no
+    # GSPMD partitioning rule, so it must not be left opaque inside the
+    # GSPMD program (models/stage2/transformer.py CosineAttention.mesh).
     use_fused_attention: Optional[bool] = None
 
     def __post_init__(self):

@@ -111,7 +111,9 @@ def quantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):
     `layer_names` anywhere in a flax param dict (host-side, numpy)."""
     def quant(node):
         q, s = quantize_weight(node["kernel"])
-        return {"kernel_q": q, "scale": s}
+        out = {k: v for k, v in node.items() if k != "kernel"}
+        out.update(kernel_q=q, scale=s)
+        return out
     return _map_named_modules(params, layer_names, "kernel", quant)
 
 

@@ -7,8 +7,9 @@
 model=cam trains the RGB VQ-GAN (optionally with PatchGAN + LPIPS);
 model=bev trains the segmentation VQ-VAE with BCE. Data: real
 Argoverse images when ARGOVERSE_DATA_DIR is set, else the fake fixture.
-LR scaling follows the reference rule: accumulate x devices x batch x
-base_lr (generate.py:58).
+LR scaling follows the global-batch form of the reference rule
+(generate.py:58): batch x base_lr — batch_size is already the global
+image batch of this single-program loop, so no device factor.
 """
 from __future__ import annotations
 
@@ -56,36 +57,50 @@ def main(argv=None):
     lr = scaled_lr(base_lr, batch_size)
     print(f"lr = {lr:.3e} (base {base_lr} x batch {batch_size})")
 
-    real_loader = None
+    num_cams = cfg.transformer.num_cams
+    # cam training consumes per-IMAGE batches; a multi-camera scene
+    # yields num_cams images, so load ceil(batch/cams) scenes per step
+    scenes_per_batch = (max(1, -(-batch_size // num_cams))
+                        if which == "cam" else batch_size)
+    real_loader_obj = real_iter = None
     import os as _os
     if _os.environ.get("ARGOVERSE_DATA_DIR"):
         try:
             from bevgen_tpu.data import datamodule as dm
             from bevgen_tpu.data.argoverse import ArgoverseDataset
             ds = ArgoverseDataset(split="train", cam_res=s1cfg.cam_res)
-            real_loader = iter(dm.DataLoader(ds, batch_size, shuffle=True,
-                                             seed=seed, drop_last=True,
-                                             num_workers=2))
+            real_loader_obj = dm.DataLoader(ds, scenes_per_batch,
+                                            shuffle=True, seed=seed,
+                                            drop_last=True, num_workers=2)
+            real_iter = iter(real_loader_obj)
             print(f"training on ArgoverseDataset ({len(ds)} samples)")
         except FileNotFoundError as e:
             print(f"{e}; falling back to the fake fixture")
 
     def next_real():
-        nonlocal real_loader
+        nonlocal real_iter
         try:
-            return next(real_loader)
+            return next(real_iter)
         except StopIteration:
-            real_loader = iter(dm.DataLoader(ds, batch_size, shuffle=True,
-                                             seed=seed, drop_last=True,
-                                             num_workers=2))
-            return next(real_loader)
+            # re-iterate the SAME loader so its per-epoch reshuffle
+            # (seeded by (seed, epoch)) advances
+            real_iter = iter(real_loader_obj)
+            return next(real_iter)
+
+    batch_rng = np.random.default_rng(seed)
 
     def get_batch(i):
-        fb = next_real() if real_loader is not None else fake_batch(
-            cfg, batch_size, seed=seed + i)
+        fb = next_real() if real_iter is not None else fake_batch(
+            cfg, scenes_per_batch, seed=seed + i)
         if which == "cam":
-            img = fb["image"]
-            return img.reshape((-1,) + img.shape[2:])[:batch_size]
+            img = np.asarray(fb["image"])
+            flat = img.reshape((-1,) + img.shape[2:])   # (scenes*cams, ...)
+            if flat.shape[0] > batch_size:
+                # random image subset so EVERY camera gets trained on
+                idx = batch_rng.choice(flat.shape[0], batch_size,
+                                       replace=False)
+                flat = flat[idx]
+            return flat
         return fb["segmentation"]
 
     x0 = jnp.asarray(get_batch(0))

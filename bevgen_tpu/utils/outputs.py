@@ -30,7 +30,7 @@ class GenerationWriter:
     def __init__(self, save_dir: str, rand_str: bool = False,
                  save_viz: bool = True, denormalize: bool = True,
                  rank: int = 0, layout: str = "argoverse",
-                 background: bool = False):
+                 background: bool = False, max_pending: int = 4):
         """layout='argoverse' writes sample/ sample_gt/; 'nuscenes'
         writes the flat gen/ gt/ rec/ trees (callback.py's nuScenes
         mode, consumed by metrics_eval's nuScenes path).
@@ -38,7 +38,10 @@ class GenerationWriter:
         background=True moves JPEG encode/IO to a writer thread so the
         serving loop can dispatch the next device batch immediately
         (the reference writes synchronously between batches); call
-        `flush()` before reading the tree or exiting."""
+        `flush()` before reading the tree or exiting. Backpressure:
+        at most `max_pending` batches queue before write_batch blocks
+        on the oldest — bounds host memory when generation outpaces
+        IO."""
         self.save_dir = Path(save_dir)
         self.rand_str = rand_str
         self.save_viz = save_viz
@@ -47,6 +50,7 @@ class GenerationWriter:
         self.layout = layout
         self._executor = None
         self._pending = []
+        self._max_pending = max_pending
         if background:
             from concurrent.futures import ThreadPoolExecutor
             self._executor = ThreadPoolExecutor(
@@ -77,6 +81,10 @@ class GenerationWriter:
         Returns the written sample dirs (background mode: queues the
         work and returns [] — flush() to complete)."""
         if self._executor is not None:
+            # backpressure: bound queued batches (each pins full image
+            # copies) by waiting on the oldest
+            while len(self._pending) >= self._max_pending:
+                self._pending.pop(0).result()
             # materialize device arrays on THIS thread (host transfer),
             # hand the pure-IO tail to the pool
             args = (np.asarray(gen_images), dict(batch),
