@@ -56,10 +56,15 @@ class CamIntrinsicAdjust:
 
 
 def square_crop(img: np.ndarray, cam_name: str) -> np.ndarray:
-    """Per-camera square-crop rules for the three Argoverse front
-    cameras (argoverse.py:275-283). `img` is (h, w, 3); for
-    ring_front_center the raw image arrives transposed (w, h, 3) and is
-    un-transposed then cropped from the top."""
+    """Per-camera square-crop rules (argoverse.py:275-283). `img` is
+    (h, w, 3); for ring_front_center the raw image arrives transposed
+    (w, h, 3) and is un-transposed then cropped from the top.
+
+    The front-left/right crops keep the half adjacent to the center
+    camera (maximizing overlap). The reference raises for every other
+    camera (argoverse.py:283 `raise Exception()` — its shipped config
+    uses only the 3 front cams); the side/rear ring cameras of the
+    7-cam rig get a CENTER crop here, the neutral extension."""
     h, w = img.shape[:2]
     if cam_name == "ring_front_left":
         return img[:, w - h:]
@@ -68,12 +73,18 @@ def square_crop(img: np.ndarray, cam_name: str) -> np.ndarray:
     if cam_name == "ring_front_center":
         img = img.transpose(1, 0, 2)
         return img[(img.shape[0] - img.shape[1]):]
-    raise ValueError(cam_name)
+    if w > h:
+        left = (w - h) // 2
+        return img[:, left:left + h]
+    if h > w:
+        top = (h - w) // 2
+        return img[top:top + w]
+    return img
 
 
 def square_crop_offsets(cam_name: str, h: int, w: int) -> Tuple[int, int]:
     """(top, left) pixel offsets the square crop introduces, for
-    intrinsics adjustment."""
+    intrinsics adjustment. (h, w) is the RAW stored image shape."""
     if cam_name == "ring_front_left":
         return 0, w - h
     if cam_name == "ring_front_right":
@@ -81,7 +92,11 @@ def square_crop_offsets(cam_name: str, h: int, w: int) -> Tuple[int, int]:
     if cam_name == "ring_front_center":
         # transposed: original (h, w) swaps; crop from top
         return w - h, 0
-    raise ValueError(cam_name)
+    if w > h:
+        return 0, (w - h) // 2
+    if h > w:
+        return (h - w) // 2, 0
+    return 0, 0
 
 
 def resize_bicubic(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:

@@ -74,11 +74,15 @@ class DataLoader:
         stop = threading.Event()
 
         def producer(worker_id: int):
-            for bi in range(worker_id, nb, self.num_workers):
-                if stop.is_set():
-                    return
-                batch = collate([self.dataset[int(i)] for i in batches[bi]])
-                q.put((bi, batch))
+            try:
+                for bi in range(worker_id, nb, self.num_workers):
+                    if stop.is_set():
+                        return
+                    batch = collate([self.dataset[int(i)]
+                                     for i in batches[bi]])
+                    q.put((bi, batch))
+            except BaseException as e:  # propagate instead of hanging
+                q.put((-1, e))
 
         threads = [threading.Thread(target=producer, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
@@ -90,6 +94,10 @@ class DataLoader:
             got = 0
             while got < nb:
                 bi, batch = q.get()
+                if bi < 0:
+                    # a worker died — re-raise its exception here rather
+                    # than blocking on q.get() forever
+                    raise batch
                 pending[bi] = batch
                 got += 1
                 while nxt in pending:
@@ -97,6 +105,12 @@ class DataLoader:
                     nxt += 1
         finally:
             stop.set()
+            # unblock producers stuck on a full queue so threads exit
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def device_prefetch(it: Iterator[Dict[str, Any]], size: int = 2,

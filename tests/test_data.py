@@ -188,3 +188,41 @@ def test_token_shards_roundtrip(tmp_path):
     s = ds[2]
     assert s["tokens"].shape == (cam, hw) and s["tokens"].dtype == np.int32
     assert s["sample_token"] == "s2"
+
+
+def test_dataloader_propagates_worker_errors():
+    """A failing __getitem__ in a worker thread must raise in the
+    consumer, not hang the iteration forever."""
+    import pytest
+    from bevgen_tpu.data import datamodule as dm
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("boom at 3")
+            return {"x": np.zeros((2, 2), np.float32)}
+
+    loader = dm.DataLoader(Bad(), batch_size=2, shuffle=False,
+                           num_workers=2, drop_last=False)
+    with pytest.raises(ValueError, match="boom at 3"):
+        for _ in loader:
+            pass
+
+
+def test_square_crop_ring_side_rear_center_crop():
+    """Side/rear ring cameras (7-cam rig, our extension — the reference
+    raises): centered square crop, offsets consistent for intrinsics."""
+    img = np.arange(4 * 6 * 3).reshape(4, 6, 3)  # landscape h=4 w=6
+    for cam in ("ring_side_left", "ring_rear_right"):
+        out = cg.square_crop(img, cam)
+        np.testing.assert_array_equal(out, img[:, 1:5])
+        top, left = cg.square_crop_offsets(cam, 4, 6)
+        assert (top, left) == (0, 1)
+    # portrait input
+    imgp = np.arange(6 * 4 * 3).reshape(6, 4, 3)
+    outp = cg.square_crop(imgp, "ring_rear_left")
+    np.testing.assert_array_equal(outp, imgp[1:5])
+    assert cg.square_crop_offsets("ring_rear_left", 6, 4) == (1, 0)
