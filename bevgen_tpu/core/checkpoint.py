@@ -164,20 +164,13 @@ def convert_muse_transformer(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
         elif key == "bev_cam_pos_emb":
             _set(out, ["bev_cam_pos_emb"], val)
         elif key == "camera_bias_emb":
-            # torch stores the flat lower-triangle (1, n_tril); our param
-            # is the full (L, L) matrix masked by a static tril at use —
-            # scatter host-side here
-            flat = val[0] if val.ndim == 2 else val
-            n = flat.shape[0]
-            L = int((np.sqrt(8 * n + 1) - 1) / 2)
-            assert L * (L + 1) // 2 == n, (n, L)
-            full = np.zeros((L, L), np.float32)
-            full[np.tril_indices(L)] = flat
-            _set(out, ["camera_bias_emb"], full)
+            _set(out, ["camera_bias_emb"], _scatter_tril(val))
         elif key == "norm.gamma":
             # TransformerMultiView.norm — defined but unused upstream
             continue
         elif parts[0] == "transformer_blocks":
+            if parts[-1] == "beta":
+                continue  # LayerNorm beta zero-buffers
             if parts[1] == "norm" and parts[2] == "gamma":
                 _set(out, ["final_norm", "norm", "scale"], val)
                 continue
@@ -213,6 +206,79 @@ def convert_muse_transformer(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
             unexpected.append(key)
     if unexpected:
         print(f"[convert_muse] skipped {len(unexpected)} unexpected keys: "
+              f"{unexpected[:8]}")
+    return out
+
+
+def _scatter_tril(flat: np.ndarray) -> np.ndarray:
+    """Reference camera_bias_emb is the flat lower triangle (1, n_tril);
+    our param is the full (L, L) matrix masked by a static tril at use."""
+    flat = flat[0] if flat.ndim == 2 else flat
+    n = flat.shape[0]
+    L = int((np.sqrt(8 * n + 1) - 1) / 2)
+    assert L * (L + 1) // 2 == n, (n, L)
+    full = np.zeros((L, L), np.float32)
+    full[np.tril_indices(L)] = flat
+    return full
+
+
+_GPT_NORMS = {"ln1": "ln1", "ln2": "ln2", "ln_f": "ln_f"}
+_GPT_MLP = {"0": "mlp_fc", "2": "mlp_proj"}
+
+
+def convert_gpt(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch AR `GPT` state_dict (mingpt_sparse.py:267-308) -> our
+    SparseGPT params tree (models/stage2/gpt.py)."""
+    out: Dict[str, Any] = {}
+    unexpected = []
+    for key, val in state.items():
+        val = np.asarray(val, dtype=np.float32)
+        parts = key.split(".")
+        pname = parts[-1]
+        if parts[0] in ("x_tok_emb", "cond_tok_emb") and pname == "weight":
+            _set(out, [parts[0], "embedding"], val)
+        elif key in ("x_pos_emb", "cond_pos_emb", "bev_cam_pos_emb"):
+            _set(out, [key], val)
+        elif key == "camera_bias_emb":
+            _set(out, ["camera_bias_emb"], _scatter_tril(val))
+        elif parts[0] in ("img_embed", "cam_embed") and pname == "weight":
+            _set(out, [parts[0], "kernel"], t_conv1x1_to_dense(val))
+        elif parts[0] == "bev_embed":
+            if pname == "weight":
+                _set(out, ["bev_embed", "kernel"], t_conv1x1_to_dense(val))
+            else:
+                _set(out, ["bev_embed", "bias"], val)
+        elif parts[0] == "ln_f":
+            _set(out, ["ln_f", "norm", _S1_NORM[pname]], val)
+        elif key == "head.weight":
+            _set(out, ["head", "kernel"], t_linear(val))
+        elif parts[0] == "blocks":
+            i = parts[1]
+            mod = f"block_{i}"
+            sub = parts[2]
+            if sub in ("ln1", "ln2"):
+                _set(out, [mod, sub, "norm", _S1_NORM[pname]], val)
+            elif sub == "attention" and parts[3] in ("query", "key", "value"):
+                if pname == "weight":
+                    _set(out, [mod, parts[3], "kernel"], t_linear(val))
+                else:
+                    _set(out, [mod, parts[3], "bias"], val)
+            elif sub == "attention" and parts[3] == "sparse_self_attention":
+                continue  # master_layout buffer — rebuilt from config
+            elif sub == "mlp" and parts[3] in _GPT_MLP:
+                name = _GPT_MLP[parts[3]]
+                if pname == "weight":
+                    _set(out, [mod, name, "kernel"], t_linear(val))
+                else:
+                    _set(out, [mod, name, "bias"], val)
+            else:
+                unexpected.append(key)
+        elif parts[0] in ("image_plane", "bev_grid"):
+            continue  # geometry buffers recomputed from config
+        else:
+            unexpected.append(key)
+    if unexpected:
+        print(f"[convert_gpt] skipped {len(unexpected)} unexpected keys: "
               f"{unexpected[:8]}")
     return out
 
