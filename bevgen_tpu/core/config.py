@@ -142,6 +142,14 @@ class MultiViewConfig:
     bev_embed: bool = True
     image_embed: bool = True
     legacy_prob_matrix: bool = False
+    # Measured camera-rig artifact for the geometric (non-legacy) bias
+    # path — the reference's `pretrained/cam_data_{dataset}.pt`
+    # (mask_generator.py:89-110, saved by argoverse.py:355). Accepts
+    # that torch artifact or our npz (ArgoverseDataset.save_cam_data).
+    # None -> synthesize the canonical rig (geometry.canonical_camera_rig).
+    # Part of the config hash, so cached mask/bias artifacts stay keyed
+    # to the rig they were built from.
+    rig_path: Optional[str] = None
     n_unmasked: int = 0
     # seeded per-head random layout sampling (replaces the reference's
     # runtime rank-0 broadcast, sparse_self_attention.py:48-52, with a

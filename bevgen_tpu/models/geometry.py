@@ -270,12 +270,56 @@ def canonical_rig_inverses(cfg: MultiViewConfig, batch: int
     return ii.astype(np.float32), ei.astype(np.float32)
 
 
+def _read_rig_file(path: str):
+    """Read a measured-rig artifact: the reference's torch
+    `cam_data_{dataset}.pt` (a collated batch dict — argoverse.py:355) or
+    our npz from ArgoverseDataset.save_cam_data. Returns per-camera
+    (intrinsics (cam,3,3), extrinsics (cam,4,4)) from batch row 0, the
+    row the reference consumes (mask_generator.py:97-98)."""
+    if path.endswith((".pt", ".pth", ".ckpt")):
+        import torch
+        data = torch.load(path, map_location="cpu", weights_only=False)
+        intr = np.asarray(data["intrinsics"], np.float64)
+        extr = np.asarray(data["extrinsics"], np.float64)
+    else:
+        data = np.load(path)
+        intr = np.asarray(data["intrinsics"], np.float64)
+        extr = np.asarray(data["extrinsics"], np.float64)
+    if intr.ndim == 4:
+        intr, extr = intr[0], extr[0]
+    return intr, extr
+
+
+@lru_cache(maxsize=16)
+def load_rig(cfg: MultiViewConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """The rig the bias/embedding artifacts are built from: the measured
+    artifact at cfg.rig_path if set, else the canonical synthetic rig.
+
+    Measured artifacts are stored in dataset camera order — the full
+    NUSCENES_CAMERAS set for nuScenes, the config's own camera list
+    otherwise (mask_generator.py:91) — and are reordered/selected here to
+    cfg.camera_names. Cached on the config (which hashes rig_path), so a
+    config change re-reads; editing the file in place under the same path
+    within one process does not."""
+    if cfg.rig_path is None:
+        return canonical_camera_rig(cfg)
+    intr, extr = _read_rig_file(cfg.rig_path)
+    stored = (CAMERA_SETS["NUSCENES_CAMERAS"] if cfg.dataset == "nuscenes"
+              else cfg.camera_names)
+    assert len(intr) == len(stored), (
+        f"rig file {cfg.rig_path} has {len(intr)} cameras, expected "
+        f"{len(stored)} ({stored})")
+    idx = [stored.index(n) for n in cfg.camera_names]
+    return intr[idx].copy(), extr[idx].copy()
+
+
 @lru_cache(maxsize=64)
 def image_direction_vectors(cfg: MultiViewConfig) -> np.ndarray:
     """Unit ego-frame ray direction for every image token,
     shape (num_img_tokens, 3), raw (cam,h,w) order
-    (mask_generator.py:89-110)."""
-    intr, extr = canonical_camera_rig(cfg)
+    (mask_generator.py:89-110). Uses the measured rig when
+    cfg.rig_path is set."""
+    intr, extr = load_rig(cfg)
     I_inv = np.linalg.inv(intr)            # (cam,3,3)
     E_inv = np.linalg.inv(extr)            # (cam,4,4)
 

@@ -118,6 +118,36 @@ def test_ref_outward_pattern_parts_match(name):
         "static layout extras must be diagonal-only"
 
 
+def test_ref_geometric_bias_matrix_from_measured_rig(tmp_path, monkeypatch):
+    """legacy_prob_matrix=False: the bias prior is built from a MEASURED
+    rig artifact. Save one rig, hand it to both implementations (ours via
+    cfg.rig_path, the reference via pretrained/cam_data_argoverse.pt) and
+    compare (mask_generator.py:89-128,:162,:181)."""
+    from test_rig import measured_rig  # same directory
+
+    base = cfg_argoverse_dense()
+    intr, extr = measured_rig(base)
+    (tmp_path / "pretrained").mkdir()
+    torch.save(
+        {"intrinsics": torch.tensor(intr[None], dtype=torch.float32),
+         "extrinsics": torch.tensor(extr[None], dtype=torch.float32)},
+        str(tmp_path / "pretrained" / "cam_data_argoverse.pt"))
+    monkeypatch.chdir(tmp_path)
+
+    cfg = MultiViewConfig(**{
+        **{f: getattr(base, f) for f in base.__dataclass_fields__},
+        "legacy_prob_matrix": False,
+        "rig_path": str(tmp_path / "pretrained" / "cam_data_argoverse.pt")})
+    rcfg = rh.ref_gpt_config(cfg)
+
+    ours = masks.camera_bias_matrix(cfg)
+    theirs = rcfg.prob_matrix.numpy()
+    np.testing.assert_allclose(
+        ours, theirs, atol=1e-4,
+        err_msg="geometric camera_bias_matrix from a measured rig "
+                "diverges from the executed reference")
+
+
 # ---------------------------------------------------------------------------
 # full MUSE transformer forward, reference-executed, weights shared
 # ---------------------------------------------------------------------------
