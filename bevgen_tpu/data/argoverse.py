@@ -106,12 +106,18 @@ class ArgoverseDataset:
         cache_dir: Optional[str] = None,
         fake_load: bool = False,
         mini_dataset: Optional[int] = None,
+        augment_cam_img: bool = False,
+        augment_bev_img: bool = False,
+        multi_camera: bool = True,
+        seed: int = 0,
         **_,
     ):
         if isinstance(split, int):
             split = {v: k for k, v in SPLITS.items()}[split]
         self.split = split
-        self.root = Path(dataset_dir or ARGOVERSE_DATA_DIR)
+        self.root = Path(dataset_dir or
+                         os.environ.get("ARGOVERSE_DATA_DIR",
+                                        ARGOVERSE_DATA_DIR))
         self.sensor_dir = self.root / "sensor" / split
         self.bev_dir = self.root / bev_dir_name / split
         self.cam_res = cam_res
@@ -121,6 +127,14 @@ class ArgoverseDataset:
         self.square_image = square_image
         self.normalize = normalize_cam_img
         self.fake_load = fake_load
+        self.augment_cam = augment_cam_img
+        self.augment_bev = augment_bev_img
+        self.multi_camera = multi_camera
+        # shared-parameter jitter needs one draw per sample; loader worker
+        # threads share this generator behind a lock
+        import threading
+        self._aug_rng = np.random.default_rng(seed)
+        self._aug_lock = threading.Lock()
 
         files: List[Path] = []
         if self.sensor_dir.exists():
@@ -138,16 +152,24 @@ class ArgoverseDataset:
                 f"no AV2 sensor files under {self.sensor_dir} — set "
                 "ARGOVERSE_DATA_DIR (or dataset_dir=) to a sensor-split "
                 "root, or drive with the fake-batch fixture (fake=N)")
-        cache = (Path(cache_dir) / f"{split}_sync.feather"
-                 if cache_dir else None)
-        table = sync.load_or_build_sync_cache(cache, records, "lidar",
-                                              self.cameras)
-        table = sync.filter_complete(table, self.cameras)
+        if multi_camera:
+            cache = (Path(cache_dir) / f"{split}_sync.feather"
+                     if cache_dir else None)
+            table = sync.load_or_build_sync_cache(cache, records, "lidar",
+                                                  self.cameras)
+            table = sync.filter_complete(table, self.cameras)
+        else:
+            # single-camera per-frame records: stage 1 trains on ALL
+            # frames, BEV matched through the nearest lidar sweep
+            # (argoverse.py:307-333)
+            table = sync.per_frame_records(records, self.cameras)
 
         # only keep sweeps with a pre-generated BEV raster
         if self.bev_dir.exists():
+            lidar_of = (lambda r: r.timestamp_ns) if multi_camera else (
+                lambda r: r.lidar)
             has_bev = [
-                (self.bev_dir / r.log_id / f"{r.timestamp_ns}.npz").exists()
+                (self.bev_dir / r.log_id / f"{lidar_of(r)}.npz").exists()
                 for r in table.itertuples()]
             table = table[np.asarray(has_bev, bool)].reset_index(drop=True)
 
@@ -189,15 +211,29 @@ class ArgoverseDataset:
                     self.sensor_dir / log_id)
             return self._calib_cache[log_id]
 
+    def _sample_rng(self) -> np.random.Generator:
+        """Per-sample child generator (thread-safe draw)."""
+        with self._aug_lock:
+            return self._aug_rng.spawn(1)[0]
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if not self.multi_camera:
+            return self._get_single(idx)
         row = self.table.iloc[idx]
         log_id, lidar_ts = row.log_id, int(row.timestamp_ns)
         token = f"{log_id}_{lidar_ts}"
         if self.fake_load:
             return {"sample_token": token}
 
+        rng = self._sample_rng()
+        # jitter parameters are drawn ONCE and shared by every camera in
+        # the rig (argoverse.py:271)
+        color = cg.color_jitter_params(rng) if self.augment_cam else None
+
         seg = rasterize.load_bev_raster(
             self.bev_dir / log_id / f"{lidar_ts}.npz")
+        if self.augment_bev:
+            seg = cg.augment_bev(rng, seg)
 
         calib = self.calibration(log_id)
         imgs, Ks, Es = [], [], []
@@ -207,8 +243,8 @@ class ArgoverseDataset:
                              "cameras" / cam / f"{ts}.jpg")
             # reference quirk (kept for checkpoint fidelity): the square
             # crop is NOT folded into the intrinsics — only the resize
-            # scale is (argoverse.py:220-226 creates a fresh
-            # NusceneCamGeometry and sets scale only)
+            # scale and the AUGMENTATION crop are (argoverse.py:186-217,
+            # 220-226: fresh NusceneCamGeometry per camera)
             adjust = cg.CamIntrinsicAdjust(rescale_first=False)
             if self.square_image:
                 if cam == "ring_front_center":
@@ -218,10 +254,20 @@ class ArgoverseDataset:
                     img = img[(img.shape[0] - img.shape[1]):]
                 else:
                     img = cg.square_crop(img, cam)
-            adjust.set_scale(self.cam_res[1] / img.shape[1],
-                             self.cam_res[0] / img.shape[0])
-            img = cg.resize_bicubic(img, self.cam_res)
             img01 = img.astype(np.float32) / 255.0
+            if self.augment_cam:
+                img01 = cg.apply_color_jitter(img01, color)
+                # crop position/scale is drawn PER CAMERA
+                # (argoverse.py:207-213, scale_max 0.1) and folded into K
+                top, left, nh, nw = cg.random_crop_params(
+                    rng, img01.shape[0], img01.shape[1], 0.1)
+                img01 = img01[top:top + nh, left:left + nw]
+                adjust.set_scale(self.cam_res[1] / nw, self.cam_res[0] / nh)
+                adjust.set_crop(top, left)
+            else:
+                adjust.set_scale(self.cam_res[1] / img01.shape[1],
+                                 self.cam_res[0] / img01.shape[0])
+            img01 = np.clip(cg.resize_bicubic(img01, self.cam_res), 0.0, 1.0)
             imgs.append(cg.normalize_image(img01) if self.normalize else img01)
             Ks.append(adjust.apply(calib[cam]["K"]))
             Es.append(calib[cam]["ego_SE3_cam"].astype(np.float32))
@@ -238,6 +284,51 @@ class ArgoverseDataset:
             "extrinsics_inv": np.linalg.inv(E.astype(np.float64)).astype(
                 np.float32),
             "cam_name": list(self.cameras),
+            "sample_token": token,
+            "dataset": "argoverse",
+        }
+
+    def _get_single(self, idx: int) -> Dict[str, np.ndarray]:
+        """Single-camera per-frame sample (stage-1 training mode,
+        argoverse.py:307-333): one camera frame + the BEV raster of its
+        nearest lidar sweep."""
+        row = self.table.iloc[idx]
+        log_id, cam = row.log_id, row.sensor_name
+        ts, lidar_ts = int(row.timestamp_ns), int(row.lidar)
+        token = f"{log_id}_{cam}_{ts}"
+        if self.fake_load:
+            return {"sample_token": token}
+
+        rng = self._sample_rng()
+        seg = rasterize.load_bev_raster(
+            self.bev_dir / log_id / f"{lidar_ts}.npz")
+        if self.augment_bev:
+            # single-camera BEV augmentation is stronger
+            # (argoverse.py:164-165: shift/scale 0.075, rotate 10deg)
+            seg = cg.augment_bev(rng, seg, shift_limit=0.075,
+                                 scale_limit=0.075, rotate_limit=10.0,
+                                 p_flip=0.0)
+
+        img = load_image(self.sensor_dir / log_id / "sensors" /
+                         "cameras" / cam / f"{ts}.jpg")
+        if cam == "ring_front_center":
+            img = img.transpose(1, 0, 2)   # portrait -> landscape (:315)
+        img01 = img.astype(np.float32) / 255.0
+        if self.augment_cam:
+            # crop augmentation, scale_max 0.25 (:208), + random hflip
+            # (:151 RandomHorizontalFlip)
+            top, left, nh, nw = cg.random_crop_params(
+                rng, img01.shape[0], img01.shape[1], 0.25)
+            img01 = img01[top:top + nh, left:left + nw]
+            if rng.uniform() < 0.5:
+                img01 = img01[:, ::-1]
+        img01 = np.clip(cg.resize_bicubic(np.ascontiguousarray(img01),
+                                          self.cam_res), 0.0, 1.0)
+        img01 = cg.normalize_image(img01) if self.normalize else img01
+        return {
+            "image": img01[None],
+            "segmentation": seg,
+            "cam_name": [cam],
             "sample_token": token,
             "dataset": "argoverse",
         }

@@ -99,6 +99,106 @@ def square_crop_offsets(cam_name: str, h: int, w: int) -> Tuple[int, int]:
     return 0, 0
 
 
+# ---------------------------------------------------------------------------
+# training-time augmentation (argoverse.py:123,186-217,271)
+# ---------------------------------------------------------------------------
+
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+
+
+def color_jitter_params(rng: np.random.Generator, brightness: float = 0.1,
+                        contrast: float = 0.1, saturation: float = 0.1,
+                        hue: float = 0.1):
+    """Draw one set of jitter parameters (torchvision
+    ColorJitter.get_params semantics: random op order + uniform factors).
+    The reference draws this ONCE per multi-camera sample and applies the
+    same parameters to every camera in the rig (argoverse.py:271)."""
+    return (rng.permutation(4),
+            float(rng.uniform(1 - brightness, 1 + brightness)),
+            float(rng.uniform(1 - contrast, 1 + contrast)),
+            float(rng.uniform(1 - saturation, 1 + saturation)),
+            float(rng.uniform(-hue, hue)))
+
+
+def adjust_brightness(img01: np.ndarray, factor: float) -> np.ndarray:
+    return np.clip(img01 * factor, 0.0, 1.0)
+
+
+def adjust_contrast(img01: np.ndarray, factor: float) -> np.ndarray:
+    mean = float((img01 @ _LUMA).mean())
+    return np.clip(factor * img01 + (1.0 - factor) * mean, 0.0, 1.0)
+
+
+def adjust_saturation(img01: np.ndarray, factor: float) -> np.ndarray:
+    gray = (img01 @ _LUMA)[..., None]
+    return np.clip(factor * img01 + (1.0 - factor) * gray, 0.0, 1.0)
+
+
+def adjust_hue(img01: np.ndarray, factor: float) -> np.ndarray:
+    """Shift hue by `factor` (in turns, [-0.5, 0.5])."""
+    import cv2
+    hsv = cv2.cvtColor(img01.astype(np.float32), cv2.COLOR_RGB2HSV)
+    hsv[..., 0] = np.mod(hsv[..., 0] + factor * 360.0, 360.0)
+    return np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0.0, 1.0)
+
+
+def apply_color_jitter(img01: np.ndarray, params) -> np.ndarray:
+    """Apply jitter params from color_jitter_params in their drawn order
+    (reference process_img, argoverse.py:193-206)."""
+    fn_idx, b, c, s, h = params
+    for fn_id in fn_idx:
+        if fn_id == 0:
+            img01 = adjust_brightness(img01, b)
+        elif fn_id == 1:
+            img01 = adjust_contrast(img01, c)
+        elif fn_id == 2:
+            img01 = adjust_saturation(img01, s)
+        else:
+            img01 = adjust_hue(img01, h)
+    return img01
+
+
+def random_crop_params(rng: np.random.Generator, h: int, w: int,
+                       scale_max: float) -> Tuple[int, int, int, int]:
+    """(top, left, new_h, new_w): uniform scale in [1-scale_max, 1]
+    applied to both dims, then a random crop position — the reference's
+    crop augmentation (argoverse.py:207-213; scale_max 0.1 multi-camera,
+    0.25 single-camera)."""
+    scale = float(rng.uniform(1.0 - scale_max, 1.0))
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    top = int(rng.integers(0, h - nh + 1))
+    left = int(rng.integers(0, w - nw + 1))
+    return top, left, nh, nw
+
+
+def augment_bev(rng: np.random.Generator, seg: np.ndarray,
+                shift_limit: float = 0.001, scale_limit: float = 0.01,
+                rotate_limit: float = 0.0, p_ssr: float = 0.5,
+                p_flip: float = 0.5) -> np.ndarray:
+    """BEV raster augmentation: shift/scale/rotate + horizontal flip —
+    numpy/cv2 equivalent of the reference's albumentations pipeline
+    (argoverse.py:114 multi-camera; :164 single-camera adds
+    shift/scale 0.075 + rotate 10deg)."""
+    import cv2
+    h, w = seg.shape[:2]
+    if rng.uniform() < p_ssr:
+        dx = float(rng.uniform(-shift_limit, shift_limit)) * w
+        dy = float(rng.uniform(-shift_limit, shift_limit)) * h
+        s = 1.0 + float(rng.uniform(-scale_limit, scale_limit))
+        ang = float(rng.uniform(-rotate_limit, rotate_limit))
+        M = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), ang, s)
+        M[:, 2] += [dx, dy]
+        out = np.empty_like(seg)
+        for c0 in range(0, seg.shape[2], 4):  # warpAffine: <=4 channels
+            out[..., c0:c0 + 4] = cv2.warpAffine(
+                np.ascontiguousarray(seg[..., c0:c0 + 4]), M, (w, h),
+                flags=cv2.INTER_NEAREST).reshape(h, w, -1)
+        seg = out
+    if rng.uniform() < p_flip:
+        seg = seg[:, ::-1].copy()
+    return seg
+
+
 def resize_bicubic(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     import cv2
     return cv2.resize(img, (out_hw[1], out_hw[0]),

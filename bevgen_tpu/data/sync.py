@@ -92,6 +92,37 @@ def filter_complete(sync: pd.DataFrame, cam_names: Sequence[str]
     return sync[mask].reset_index(drop=True)
 
 
+def per_frame_records(records: pd.DataFrame, cam_names: Sequence[str],
+                      lidar_tolerance_ns: int = int(0.5 * 1e9 / 10.0)
+                      ) -> pd.DataFrame:
+    """One record per CAMERA FRAME (not per synchronized sweep), each
+    matched to its nearest lidar timestamp — the reference's
+    single-camera stage-1 dataset mode (`populate_image_records` +
+    BEV-by-lidar-sync, bev_utils/argoverse.py:307-333,
+    argoverse_helper.py:77). Trains stage 1 on ALL frames of every
+    requested camera. Tolerance: half the 10 Hz lidar period."""
+    cams = records[records.sensor_name.isin(list(cam_names))][
+        ["split", "log_id", "sensor_name", "timestamp_ns"]].copy()
+    cams["timestamp_ns"] = cams["timestamp_ns"].astype(np.int64)
+    lidar = records[records.sensor_name == "lidar"][
+        ["split", "log_id", "timestamp_ns"]].copy()
+    lidar["timestamp_ns"] = lidar["timestamp_ns"].astype(np.int64)
+    lidar = lidar.rename(columns={"timestamp_ns": "lidar"})
+    out = pd.merge_asof(
+        cams.sort_values("timestamp_ns"),
+        lidar.sort_values("lidar"),
+        left_on="timestamp_ns", right_on="lidar",
+        by=["split", "log_id"],
+        direction="nearest",
+        tolerance=lidar_tolerance_ns,
+    )
+    out = out[out["lidar"].notna()].copy()
+    out["lidar"] = out["lidar"].astype(np.int64)
+    return out.sort_values(
+        ["split", "log_id", "sensor_name", "timestamp_ns"]).reset_index(
+            drop=True)
+
+
 def load_or_build_sync_cache(cache_path: Optional[Path],
                              records: pd.DataFrame, reference_sensor: str,
                              cam_names: Sequence[str]) -> pd.DataFrame:

@@ -46,6 +46,7 @@ def main(argv=None):
     image_every = int(args.pop("image_every", 0))
     run_dir = args.pop("run_dir", "output/stage1")
     seed = int(args.pop("seed", cfg.seed))
+    augment = args.pop("augment", "true").lower() == "true"
     if args:
         print(f"[train_stage1] ignoring unknown args: {sorted(args)}")
 
@@ -57,23 +58,29 @@ def main(argv=None):
     lr = scaled_lr(base_lr, batch_size)
     print(f"lr = {lr:.3e} (base {base_lr} x batch {batch_size})")
 
-    num_cams = cfg.transformer.num_cams
-    # cam training consumes per-IMAGE batches; a multi-camera scene
-    # yields num_cams images, so load ceil(batch/cams) scenes per step
-    scenes_per_batch = (max(1, -(-batch_size // num_cams))
-                        if which == "cam" else batch_size)
+    # cam training uses the single-camera PER-FRAME dataset mode (every
+    # frame of every camera, BEV matched by lidar sync — reference
+    # argoverse.py:307-333): one sample = one image, so scenes==images.
+    # bev training needs one raster per synchronized sweep -> multi mode.
+    scenes_per_batch = batch_size
     real_loader_obj = real_iter = None
     import os as _os
     if _os.environ.get("ARGOVERSE_DATA_DIR"):
         try:
             from bevgen_tpu.data import datamodule as dm
             from bevgen_tpu.data.argoverse import ArgoverseDataset
-            ds = ArgoverseDataset(split="train", cam_res=s1cfg.cam_res)
+            ds = ArgoverseDataset(
+                split="train", cam_res=s1cfg.cam_res,
+                multi_camera=(which != "cam"),
+                augment_cam_img=augment and which == "cam",
+                augment_bev_img=augment and which == "bev",
+                seed=seed)
             real_loader_obj = dm.DataLoader(ds, scenes_per_batch,
                                             shuffle=True, seed=seed,
                                             drop_last=True, num_workers=2)
             real_iter = iter(real_loader_obj)
-            print(f"training on ArgoverseDataset ({len(ds)} samples)")
+            print(f"training on ArgoverseDataset ({len(ds)} samples, "
+                  f"{'per-frame' if which == 'cam' else 'multi-camera'})")
         except FileNotFoundError as e:
             print(f"{e}; falling back to the fake fixture")
 
