@@ -140,15 +140,31 @@ _ATTN_IDX = {"0": "attn", "1": "cross_attn"}
 _FF_IDX = {"0": "norm_in", "1": "proj_in", "3": "norm_mid", "4": "proj_out"}
 
 
-def convert_muse_transformer(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+def convert_muse_transformer(state: Dict[str, np.ndarray],
+                             self_cond: bool = False) -> Dict[str, Any]:
     """torch TransformerMultiView state_dict (keys relative to the
     transformer, e.g. 'token_emb.weight', 'transformer_blocks.layers.0.0.
-    to_q.weight') -> our MultiViewTransformer params tree."""
+    to_q.weight') -> our MultiViewTransformer params tree.
+
+    `self_cond_to_init_embed.*` keys exist UNCONDITIONALLY in reference
+    checkpoints (muse_maskgit_pytorch.py:241); they are converted when
+    self_cond=True and silently dropped otherwise (the module is unused
+    in that case)."""
     out: Dict[str, Any] = {}
     unexpected = []
     for key, val in state.items():
         val = np.asarray(val, dtype=np.float32)
         parts = key.split(".")
+        if parts[0] == "self_cond_to_init_embed":
+            if not self_cond or parts[-1] == "beta":
+                continue
+            sub, pname = parts[1], parts[2]
+            mod = ["self_cond_to_init_embed", _FF_IDX[sub]]
+            if pname == "gamma":
+                _set(out, [*mod, "norm", "scale"], val)
+            else:
+                _set(out, [*mod, "kernel"], t_linear(val))
+            continue
         if parts[0] in ("token_emb", "cond_token_emb", "pos_emb",
                         "cond_pos_emb") and parts[-1] == "weight":
             _set(out, [parts[0], "embedding"], val)
@@ -283,12 +299,17 @@ def convert_gpt(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
-def convert_net2net(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+def convert_net2net(state: Dict[str, np.ndarray],
+                    self_cond: bool = False) -> Dict[str, Any]:
     """Full reference Net2NetTransformer checkpoint -> pipeline params:
-    {'first_stage': ..., 'cond_stage': ..., 'maskgit': ...}."""
+    {'first_stage': ..., 'cond_stage': ..., 'maskgit': ...}.
+
+    `maskgit.token_critic.*` is either a SelfCritic (net.* aliases of
+    the transformer + a to_pred head) or a separate TokenCritic
+    transformer (muse_maskgit_pytorch.py:388,423) — both handled."""
     state = {re.sub(r"^_forward_module\.", "", k): v for k, v in state.items()}
     groups: Dict[str, Dict[str, np.ndarray]] = {
-        "first": {}, "cond": {}, "tf": {}, "critic": {}}
+        "first": {}, "cond": {}, "tf": {}, "critic": {}, "critic_tf": {}}
     for k, v in state.items():
         if k.startswith("first_stage_model."):
             groups["first"][k[len("first_stage_model."):]] = v
@@ -296,16 +317,24 @@ def convert_net2net(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
             groups["cond"][k[len("cond_stage_model."):]] = v
         elif k.startswith("maskgit.transformer."):
             groups["tf"][k[len("maskgit.transformer."):]] = v
+        elif k.startswith("maskgit.token_critic.net."):
+            pass  # SelfCritic aliases of maskgit.transformer.*
         elif k.startswith("maskgit.token_critic.to_pred."):
             groups["critic"][k[len("maskgit.token_critic.to_pred."):]] = v
-        # maskgit.token_critic.net.* are aliases of maskgit.transformer.*
+        elif k.startswith("maskgit.token_critic."):
+            # a full separate TokenCritic transformer
+            groups["critic_tf"][k[len("maskgit.token_critic."):]] = v
     maskgit_params: Dict[str, Any] = {
-        "transformer": convert_muse_transformer(groups["tf"])}
+        "transformer": convert_muse_transformer(groups["tf"],
+                                                self_cond=self_cond)}
     if groups["critic"]:
         maskgit_params["critic"] = {"to_pred": {
             "kernel": t_linear(np.asarray(groups["critic"]["weight"],
                                           np.float32)),
             "bias": np.asarray(groups["critic"]["bias"], np.float32)}}
+    if groups["critic_tf"]:
+        maskgit_params["token_critic"] = convert_muse_transformer(
+            groups["critic_tf"])
     return {
         "first_stage": {"params": convert_stage1(groups["first"])},
         "cond_stage": {"params": convert_stage1(groups["cond"])},

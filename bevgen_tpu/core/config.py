@@ -150,6 +150,12 @@ class MultiViewConfig:
     # Part of the config hash, so cached mask/bias artifacts stay keyed
     # to the rig they were built from.
     rig_path: Optional[str] = None
+    # MUSE self-conditioning (muse_maskgit_pytorch.py:212,240-241,356-359):
+    # a FeedForward of the previous forward's embeddings added to the
+    # input embeddings. The reference adds a (b*cam, hw, d) embed to a
+    # (b, cam*hw, d) input (shape-inconsistent upstream, never shipped
+    # enabled); we keep both in (b, cam*hw, d).
+    self_cond: bool = False
     n_unmasked: int = 0
     # seeded per-head random layout sampling (replaces the reference's
     # runtime rank-0 broadcast, sparse_self_attention.py:48-52, with a
@@ -234,6 +240,13 @@ class MuseConfig:
     cond_scale: float = 3.0
     cond_drop_prob: float = 0.1
     self_token_critic: bool = True
+    # separate critic TRANSFORMER (TokenCritic,
+    # muse_maskgit_pytorch.py:423-426) — mutually exclusive with
+    # self_token_critic
+    token_critic: bool = False
+    # probability of feeding the no-grad pre-forward embedding as
+    # self-conditioning during training (muse_maskgit_pytorch.py:505,681)
+    self_cond_prob: float = 0.9
     critic_loss_weight: float = 1.0
     critic_noise_scale: float = 1.0
     temperature: float = 1.0

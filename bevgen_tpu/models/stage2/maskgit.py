@@ -47,22 +47,37 @@ class MaskGit(nn.Module):
     mesh: Any = None
 
     def setup(self):
+        assert not (self.muse.self_token_critic and self.muse.token_critic), \
+            "self_token_critic and token_critic are mutually exclusive " \
+            "(muse_maskgit_pytorch.py:496)"
         self.transformer = MultiViewTransformer(self.cfg, self.dtype,
                                                 mesh=self.mesh,
                                                 name="transformer")
         if self.muse.self_token_critic:
             self.critic = SelfCriticHead(self.dtype, name="critic")
+        if self.muse.token_critic:
+            # separate critic transformer with a scalar head
+            # (TokenCritic, muse_maskgit_pytorch.py:423-426)
+            self.token_critic = MultiViewTransformer(
+                self.cfg, self.dtype, mesh=self.mesh, dim_out=1,
+                add_mask_id=False, name="token_critic")
 
     def __call__(self, ids, cond_ids, intrinsics_inv, extrinsics_inv,
-                 cond_keep=None, deterministic: bool = True):
+                 cond_keep=None, deterministic: bool = True,
+                 self_cond_embed=None):
         return self.transformer(ids, cond_ids, intrinsics_inv, extrinsics_inv,
-                                cond_keep, deterministic)
+                                cond_keep, deterministic,
+                                self_cond_embed=self_cond_embed)
 
     def critic_logits(self, ids, cond_ids, intrinsics_inv, extrinsics_inv,
                       cond_keep=None, deterministic: bool = True):
+        b, cam, hw = ids.shape
+        if self.muse.token_critic:
+            out = self.token_critic(ids, cond_ids, intrinsics_inv,
+                                    extrinsics_inv, cond_keep, deterministic)
+            return out.logits[..., 0]
         out = self.transformer(ids, cond_ids, intrinsics_inv, extrinsics_inv,
                                cond_keep, deterministic)
-        b, cam, hw = ids.shape
         return self.critic(out.embed).reshape(b, cam, hw)
 
     def init_all(self, ids, cond_ids, intrinsics_inv, extrinsics_inv):
@@ -70,6 +85,8 @@ class MaskGit(nn.Module):
         out = self.transformer(ids, cond_ids, intrinsics_inv, extrinsics_inv)
         if self.muse.self_token_critic:
             self.critic(out.embed)
+        if self.muse.token_critic:
+            self.token_critic(ids, cond_ids, intrinsics_inv, extrinsics_inv)
         return out
 
 
@@ -83,17 +100,21 @@ def _cfg_batch(x):
 
 
 def cfg_logits(model: MaskGit, params, ids, cond_ids, ii, ei,
-               cond_scale: float):
+               cond_scale: float, self_cond_embed=None):
     """Guided logits: null + (cond - null) * scale, one 2x-batch forward
-    (muse_maskgit_pytorch.py:262-281)."""
+    (muse_maskgit_pytorch.py:262-281). Returns (logits, cond_embed);
+    cond_embed feeds the next step's self-conditioning
+    (muse_maskgit_pytorch.py:576-585)."""
     b = ids.shape[0]
     keep = jnp.concatenate([jnp.ones((b,), bool), jnp.zeros((b,), bool)])
+    sc = (_cfg_batch(self_cond_embed) if self_cond_embed is not None
+          else None)
     out: TransformerOutput = model.apply(
         params, _cfg_batch(ids), _cfg_batch(cond_ids), _cfg_batch(ii),
-        _cfg_batch(ei), cond_keep=keep)
+        _cfg_batch(ei), cond_keep=keep, self_cond_embed=sc)
     logits = out.logits.astype(jnp.float32)
     cond, null = logits[:b], logits[b:]
-    return null + (cond - null) * cond_scale
+    return null + (cond - null) * cond_scale, out.embed[:b]
 
 
 def cfg_critic(model: MaskGit, params, ids, cond_ids, ii, ei,
@@ -152,7 +173,8 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
     Returns: (b, cam, h, w) int32 codebook indices.
     """
     cfg, muse = model.cfg, model.muse
-    use_critic = muse.self_token_critic and not force_not_use_token_critic
+    use_critic = ((muse.self_token_critic or muse.token_critic)
+                  and not force_not_use_token_critic)
     T = timesteps or muse.sample_iterations
     b = cond_ids.shape[0]
     cam, hw = cfg.num_cams, cfg.num_cam_tokens
@@ -160,6 +182,10 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
 
     ids = jnp.full((b, cam, hw), mask_id, dtype=jnp.int32)
     scores = jnp.zeros((b, cam, hw), dtype=jnp.float32)
+    # self-conditioning carry: previous step's cond-pass embeddings
+    # (zeros at step 0 — muse_maskgit_pytorch.py:562,576-585)
+    sc_embed = (jnp.zeros((b, cfg.num_img_tokens, cfg.num_embed),
+                          jnp.float32) if cfg.self_cond else None)
     if init_ids is not None:
         keep_init = init_ids != mask_id
     else:
@@ -178,7 +204,7 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
               rngs=jax.random.split(rng, T))
 
     def body(carry, step):
-        ids, scores = carry
+        ids, scores, sc = carry
         rng_s, rng_g, rng_n = jax.random.split(step["rngs"], 3)
 
         rank = _rank_desc(scores)
@@ -186,8 +212,11 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
         if keep_init is not None:
             ids = jnp.where(keep_init, init_ids, ids)
 
-        logits = cfg_logits(model, params, ids, cond_ids, intrinsics_inv,
-                            extrinsics_inv, muse.cond_scale)
+        logits, embed = cfg_logits(model, params, ids, cond_ids,
+                                   intrinsics_inv, extrinsics_inv,
+                                   muse.cond_scale, self_cond_embed=sc)
+        if cfg.self_cond:
+            sc = embed.astype(jnp.float32)
         filtered = top_k_filter(logits, muse.topk_filter_thres)
         pred = gumbel_sample(rng_g, filtered, step["temp"]).astype(jnp.int32)
 
@@ -204,9 +233,9 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
             chosen = jnp.take_along_axis(probs, pred[..., None], axis=-1)[..., 0]
             scores = 1.0 - chosen
             scores = jnp.where(is_mask, scores, -1e5)
-        return (ids, scores), None
+        return (ids, scores, sc), None
 
-    (ids, _), _ = jax.lax.scan(body, (ids, scores), xs)
+    (ids, _, _), _ = jax.lax.scan(body, (ids, scores, sc_embed), xs)
     h, w = cfg.cam_latent_res
     return ids.reshape(b, cam, h, w)
 
@@ -244,7 +273,7 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
     # one up-front split: jax.random.split(k, n) prefixes coincide across
     # different n, so re-splitting the same base key would alias streams
     (r_t, r_perm, r_drop, r_temp, r_gum, r_drop2, r_sub, r_do1,
-     r_do2) = jax.random.split(rng, 9)
+     r_do2, r_sc) = jax.random.split(rng, 10)
 
     t = jax.random.uniform(r_t, (b, cam))
     mask_prob = jnp.cos(t * jnp.pi / 2)
@@ -272,14 +301,28 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
 
     x = jnp.where(mask, mask_id, tokens).astype(jnp.int32)
 
+    # self-conditioning: a no-grad pre-forward's embeddings feed the
+    # main forward with probability self_cond_prob
+    # (muse_maskgit_pytorch.py:677-692); the "off" branch multiplies to
+    # the zeros embedding the reference uses when None
+    sc_embed = None
+    if cfg.self_cond:
+        pre: TransformerOutput = model.apply(
+            params, x, cond_ids, intrinsics_inv, extrinsics_inv,
+            cond_keep=None, deterministic=True)
+        flag = (jax.random.uniform(r_sc, ()) <
+                muse.self_cond_prob).astype(jnp.float32)
+        sc_embed = jax.lax.stop_gradient(
+            pre.embed.astype(jnp.float32)) * flag
+
     cond_keep = jax.random.uniform(r_drop, (b,)) >= muse.cond_drop_prob
     out: TransformerOutput = model.apply(
         params, x, cond_ids, intrinsics_inv, extrinsics_inv,
         cond_keep=cond_keep, deterministic=False,
-        rngs={"dropout": r_do1})
+        rngs={"dropout": r_do1}, self_cond_embed=sc_embed)
     ce = masked_cross_entropy(out.logits, labels)
 
-    if not muse.self_token_critic:
+    if not (muse.self_token_critic or muse.token_critic):
         return MaskGitLoss(ce, ce, jnp.zeros_like(ce))
 
     temp = jax.random.uniform(r_temp, ())

@@ -227,10 +227,18 @@ class MultiViewTransformer(nn.Module):
     cfg: MultiViewConfig
     dtype: Dtype = jnp.float32
     mesh: Any = None
+    # output head width: None -> vocab_size (the generator); 1 for the
+    # TokenCritic variant (muse_maskgit_pytorch.py:423-426)
+    dim_out: Optional[int] = None
+    # the generator embeds vocab_size+1 ids (the [mask] token); the
+    # TokenCritic only ever sees real tokens (add_mask_id default False
+    # upstream, muse_maskgit_pytorch.py:222-225)
+    add_mask_id: bool = True
 
     @nn.compact
     def __call__(self, ids, cond_ids, intrinsics_inv, extrinsics_inv,
-                 cond_keep=None, deterministic: bool = True) -> TransformerOutput:
+                 cond_keep=None, deterministic: bool = True,
+                 self_cond_embed=None) -> TransformerOutput:
         cfg = self.cfg
         assert cfg.num_pad_tokens == 0, "MUSE dense path requires no pad tokens"
         b, cam, hw = ids.shape
@@ -240,7 +248,8 @@ class MultiViewTransformer(nn.Module):
         emb = lambda n, name: nn.Embed(n, dim, dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)
 
-        x = emb(cfg.vocab_size + 1, "token_emb")(ids)        # (b,cam,hw,dim)
+        x = emb(cfg.vocab_size + int(self.add_mask_id),
+                "token_emb")(ids)                            # (b,cam,hw,dim)
 
         # ---- camera-ray embedding (muse_maskgit_pytorch.py:310-328) ----
         c_embed = None
@@ -303,6 +312,14 @@ class MultiViewTransformer(nn.Module):
             self_bias = bias[nc:, nc:]
             cross_bias = bias[nc:, :nc]
 
+        # ---- self-conditioning (muse_maskgit_pytorch.py:356-359) ----
+        if cfg.self_cond:
+            sc = (self_cond_embed if self_cond_embed is not None
+                  else jnp.zeros_like(x))
+            x = x + GEGLUFeedForward(
+                dim, 4, dtype=self.dtype,
+                name="self_cond_to_init_embed")(sc.astype(self.dtype))
+
         # ---- transformer blocks (muse_maskgit_pytorch.py:171-202) ----
         Attn = nn.remat(CosineAttention) if cfg.remat else CosineAttention
         FF = (nn.remat(GEGLUFeedForward) if cfg.remat
@@ -326,10 +343,11 @@ class MultiViewTransformer(nn.Module):
                        name=f"layers_{layer}_ff")(x)
         embed = LayerNormG(self.dtype, name="final_norm")(x)
 
+        dim_out = self.dim_out if self.dim_out is not None else cfg.vocab_size
         logits = _make_dense(cfg.quant, self.dtype)(
-            cfg.vocab_size, "to_logits")(embed)
+            dim_out, "to_logits")(embed)
         return TransformerOutput(
-            logits=logits.reshape(b, cam, hw, cfg.vocab_size), embed=embed)
+            logits=logits.reshape(b, cam, hw, dim_out), embed=embed)
 
 
 class SelfCriticHead(nn.Module):

@@ -210,6 +210,126 @@ def test_ref_muse_forward_matches():
                 "TransformerMultiView with shared weights")
 
 
+def test_ref_muse_self_conditioning_matches():
+    """self_cond=True: the FeedForward of the self-cond embedding is
+    applied identically (muse_maskgit_pytorch.py:240-241,356-359). Both
+    sides receive the same explicit (b, cam*hw, d) embedding — the
+    reference's zeros default makes the branch a no-op (GEGLU of zeros),
+    so a nonzero embed is what actually exercises the weights."""
+    from bevgen_tpu.models.stage2.transformer import MultiViewTransformer
+    from bevgen_tpu.core.config import MultiViewConfig as MVC
+
+    base = cfg_argoverse_dense()
+    cfg = MVC(**{**{f: getattr(base, f) for f in base.__dataclass_fields__},
+                 "self_cond": True})
+    torch.manual_seed(13)
+    np.random.seed(13)
+    muse = rh.import_ref(
+        "multi_view_generation.modules.stage2.muse_maskgit_pytorch")
+    rcfg = rh.ref_gpt_config(cfg)
+    ref_tf = muse.MaskGitTransformerMultiView(
+        num_tokens=cfg.vocab_size, seq_len=tuple(cfg.cam_latent_res),
+        dim=cfg.num_embed, depth=cfg.num_layers, dim_head=cfg.dim_head,
+        heads=cfg.num_heads, ff_mult=cfg.ff_mult, cfg=rcfg,
+        self_cond=True).eval()
+
+    b, cam, hw = 2, cfg.num_cams, cfg.num_cam_tokens
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, cfg.vocab_size, (b, cam, hw))
+    cond = rng.integers(0, cfg.cond_vocab_size, (b, cfg.num_cond_tokens))
+    sc = rng.standard_normal((b, cam * hw, cfg.num_embed)).astype(np.float32)
+    intr, extr = geometry.canonical_camera_rig(cfg)
+    ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                         (b, cam, 3, 3)).astype(np.float32)
+    ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                         (b, cam, 4, 4)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_logits = ref_tf(
+            torch.tensor(ids.reshape(b * cam, hw)),
+            conditioning_token_ids=torch.tensor(cond),
+            self_cond_embed=torch.tensor(sc),
+            batch={"intrinsics_inv": torch.tensor(ii),
+                   "extrinsics_inv": torch.tensor(ei)},
+            cond_drop_prob=0.0)
+    ref_logits = ref_logits.numpy().reshape(b, cam, hw, cfg.vocab_size)
+
+    state = {k: v.numpy() for k, v in ref_tf.state_dict().items()}
+    params = {"params": ckpt.convert_muse_transformer(state, self_cond=True)}
+    model = MultiViewTransformer(cfg)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(ids, jnp.int32),
+                      jnp.asarray(cond, jnp.int32), jnp.asarray(ii),
+                      jnp.asarray(ei))
+    missing, unexpected = ckpt.verify_tree_match(params["params"],
+                                                 init["params"])
+    assert not missing and not unexpected, (missing, unexpected)
+    ours = np.asarray(model.apply(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(cond, jnp.int32),
+        jnp.asarray(ii), jnp.asarray(ei),
+        self_cond_embed=jnp.asarray(sc)).logits)
+    np.testing.assert_allclose(ours, ref_logits, atol=2e-4)
+
+
+def test_ref_token_critic_matches():
+    """Separate TokenCritic transformer (muse_maskgit_pytorch.py:423-426):
+    converter round-trips a full reference MaskGit state_dict with a
+    token critic, and our critic forward matches the executed one."""
+    from bevgen_tpu.core.config import MuseConfig
+    from bevgen_tpu.models.stage2.maskgit import MaskGit
+
+    cfg = cfg_argoverse_dense()
+    torch.manual_seed(17)
+    np.random.seed(17)
+    muse = rh.import_ref(
+        "multi_view_generation.modules.stage2.muse_maskgit_pytorch")
+    rcfg = rh.ref_gpt_config(cfg)
+    mk = lambda klass, **kw: klass(
+        num_tokens=cfg.vocab_size, seq_len=tuple(cfg.cam_latent_res),
+        dim=cfg.num_embed, depth=cfg.num_layers, dim_head=cfg.dim_head,
+        heads=cfg.num_heads, ff_mult=cfg.ff_mult, cfg=rcfg, **kw)
+    ref_mg = muse.MaskGit(
+        image_size=tuple(cfg.cam_latent_res),
+        transformer=mk(muse.MaskGitTransformerMultiView),
+        token_critic=mk(muse.TokenCritic)).eval()
+
+    state = {f"maskgit.{k}": v.numpy()
+             for k, v in ref_mg.state_dict().items()}
+    converted = ckpt.convert_net2net(state)
+
+    mcfg = MuseConfig(self_token_critic=False, token_critic=True)
+    model = MaskGit(cfg, mcfg)
+    b, cam, hw = 2, cfg.num_cams, cfg.num_cam_tokens
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, cfg.vocab_size, (b, cam, hw))
+    cond = rng.integers(0, cfg.cond_vocab_size, (b, cfg.num_cond_tokens))
+    intr, extr = geometry.canonical_camera_rig(cfg)
+    ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                         (b, cam, 3, 3)).astype(np.float32)
+    ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                         (b, cam, 4, 4)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(ids, jnp.int32),
+                      jnp.asarray(cond, jnp.int32), jnp.asarray(ii),
+                      jnp.asarray(ei), method=MaskGit.init_all)
+    params = {"params": converted["maskgit"]["params"]}
+    missing, unexpected = ckpt.verify_tree_match(params["params"],
+                                                 init["params"])
+    assert not missing and not unexpected, (missing, unexpected)
+
+    with torch.no_grad():
+        ref_scores = ref_mg.token_critic(
+            torch.tensor(ids.reshape(b * cam, hw)),
+            conditioning_token_ids=torch.tensor(cond),
+            batch={"intrinsics_inv": torch.tensor(ii),
+                   "extrinsics_inv": torch.tensor(ei)},
+            cond_drop_prob=0.0)
+    ref_scores = ref_scores.numpy().reshape(b, cam, hw)
+
+    ours = np.asarray(model.apply(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(cond, jnp.int32),
+        jnp.asarray(ii), jnp.asarray(ei), method=MaskGit.critic_logits))
+    np.testing.assert_allclose(ours, ref_scores, atol=2e-4)
+
+
 # ---------------------------------------------------------------------------
 # full AR GPT forward, reference-executed with an emulated DeepSpeed kernel
 # ---------------------------------------------------------------------------
