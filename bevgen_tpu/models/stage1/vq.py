@@ -45,10 +45,9 @@ class VQModel(nn.Module):
                                        self.dtype)
         self.codebook = self.param(
             "codebook",
-            lambda key, shape: jnp.asarray(
-                np.random.default_rng(0).uniform(
-                    -1.0 / self.cfg.n_embed, 1.0 / self.cfg.n_embed,
-                    size=shape).astype(np.float32)),
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32,
+                -1.0 / self.cfg.n_embed, 1.0 / self.cfg.n_embed),
             (self.cfg.n_embed, self.cfg.embed_dim))
         if self.cfg.geometric_embedding:
             self.img_embed = conv1x1(self.cfg.cam_emd_dim, "img_embed",
