@@ -1,19 +1,25 @@
-"""nuScenes multi-camera dataset loader (devkit-gated).
+"""nuScenes multi-camera dataset loader — devkit-FREE.
 
 Counterpart of the reference's nuScenes data path (the training branch's
 `bev_utils/nuscenes_dataset`, referenced by scripts/filter_generated.py;
-geometry helpers in nuscenes_helper.py). The nuScenes devkit is not
-bundled in this image — the loader raises a clear error without it, and
-every geometric/raster computation it delegates to is devkit-free and
-tested (`data/nuscenes_raster.py`, `models/geometry.py`).
+geometry helpers in nuscenes_helper.py). The reference loads nuScenes
+through the nuscenes-devkit, but the devkit's `NuScenes` class is only a
+loader for the dataset's plain-JSON relational tables plus join helpers
+— so we read the tables directly (`NuScenesTables`), which removes the
+dependency and makes the loader exercisable against a synthetic
+v1.0-mini-shaped fixture (tests/test_data.py). Scene splits ship as data
+files (`data/splits/{train,val,test}.txt`, mirroring the reference's
+`bev_utils/splits/` lists).
 
-Sample schema matches the framework batch contract: image [cam,h,w,3]
-normalized, segmentation [256,256,C] (12-ch nuScenes layout from
-nuscenes_raster), intrinsics(_inv), extrinsics(_inv), cam_name,
-sample_token, dataset='nuscenes'.
+Sample schema matches the framework batch contract (argoverse.py parity):
+image [cam,h,w,3] float, segmentation [256,256,12] (nuScenes channel
+layout from nuscenes_raster), intrinsics(_inv) [cam,3,3],
+extrinsics(_inv) [cam,4,4] (ego_SE3_cam), cam_name, sample_token,
+dataset='nuscenes'.
 """
 from __future__ import annotations
 
+import json
 import os
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -26,18 +32,119 @@ from bevgen_tpu.data import nuscenes_raster as nr
 NUSCENES_CAMERAS = ("CAM_FRONT", "CAM_BACK", "CAM_FRONT_RIGHT",
                     "CAM_FRONT_LEFT", "CAM_BACK_RIGHT", "CAM_BACK_LEFT")
 
+_SPLITS_DIR = Path(__file__).parent / "splits"
 
-def _require_devkit():
-    try:
-        from nuscenes.nuscenes import NuScenes  # noqa: F401
-        return True
-    except ImportError as e:
-        raise ImportError(
-            "NuScenesDataset requires the nuscenes-devkit (not bundled in "
-            "this image). The nuScenes MODEL path (AR sparse GPT, 6-cam "
-            "rig, raster builders) is fully implemented and tested on "
-            "synthetic data; install nuscenes-devkit to load real data."
-        ) from e
+
+def scene_split(split: str) -> List[str]:
+    """Scene-name lists for train/val/test (reference
+    bev_utils/splits/*.txt — the official nuScenes trainval split)."""
+    path = _SPLITS_DIR / f"{split}.txt"
+    if not path.exists():
+        raise ValueError(f"unknown nuScenes split {split!r} "
+                         f"(have: {[p.stem for p in _SPLITS_DIR.glob('*.txt')]})")
+    return [ln.strip() for ln in path.read_text().splitlines() if ln.strip()]
+
+
+# ---------------------------------------------------------------------------
+# quaternion helpers (pyquaternion equivalents; nuScenes stores wxyz)
+# ---------------------------------------------------------------------------
+
+
+def quat_to_rotmat(q) -> np.ndarray:
+    """(w,x,y,z) unit quaternion -> 3x3 rotation matrix."""
+    w, x, y, z = np.asarray(q, np.float64)
+    n = w * w + x * x + y * y + z * z
+    s = 0.0 if n == 0 else 2.0 / n
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.array([
+        [1.0 - (yy + zz), xy - wz, xz + wy],
+        [xy + wz, 1.0 - (xx + zz), yz - wx],
+        [xz - wy, yz + wx, 1.0 - (xx + yy)]])
+
+
+def quat_yaw(q) -> float:
+    """Rotation about +z (pyquaternion yaw_pitch_roll[0] convention:
+    yaw extracted from the rotated x-axis projected to the xy plane)."""
+    R = quat_to_rotmat(q)
+    return float(np.arctan2(R[1, 0], R[0, 0]))
+
+
+def se3(rotation_q, translation, inv: bool = False) -> np.ndarray:
+    """4x4 SE(3) from a (w,x,y,z) quaternion + translation
+    (devkit transform_matrix equivalent)."""
+    R = quat_to_rotmat(rotation_q)
+    t = np.asarray(translation, np.float64)
+    out = np.eye(4)
+    if inv:
+        out[:3, :3] = R.T
+        out[:3, 3] = -R.T @ t
+    else:
+        out[:3, :3] = R
+        out[:3, 3] = t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# table reader
+# ---------------------------------------------------------------------------
+
+_TABLES = ("scene", "sample", "sample_data", "calibrated_sensor", "sensor",
+           "ego_pose", "sample_annotation", "instance", "category")
+
+
+class NuScenesTables:
+    """The nuScenes relational tables, loaded from `{root}/{version}/
+    {table}.json` into token-keyed dicts with the joins the loader needs.
+    Equivalent to the devkit's `NuScenes` minus map rasterization (ours
+    lives in data/nuscenes_raster.py)."""
+
+    def __init__(self, root: str, version: str = "v1.0-trainval"):
+        self.root = Path(root)
+        tdir = self.root / version
+        if not tdir.exists():
+            raise FileNotFoundError(
+                f"nuScenes tables not found at {tdir} — set "
+                f"NUSCENES_DATA_DIR / dataset_dir to the dataroot")
+        self.t: Dict[str, Dict[str, dict]] = {}
+        for name in _TABLES:
+            path = tdir / f"{name}.json"
+            rows = json.loads(path.read_text()) if path.exists() else []
+            self.t[name] = {r["token"]: r for r in rows}
+
+        # sample -> {channel: keyframe sample_data row}
+        self.sample_data_by_sample: Dict[str, Dict[str, dict]] = {}
+        for sd in self.t["sample_data"].values():
+            if not sd.get("is_key_frame", False):
+                continue
+            sensor = self.t["sensor"][
+                self.t["calibrated_sensor"][sd["calibrated_sensor_token"]]
+                ["sensor_token"]]
+            self.sample_data_by_sample.setdefault(
+                sd["sample_token"], {})[sensor["channel"]] = sd
+        # sample -> annotation rows
+        self.anns_by_sample: Dict[str, List[dict]] = {}
+        for a in self.t["sample_annotation"].values():
+            self.anns_by_sample.setdefault(a["sample_token"], []).append(a)
+
+    def category_name(self, ann: dict) -> str:
+        inst = self.t["instance"][ann["instance_token"]]
+        return self.t["category"][inst["category_token"]]["name"]
+
+    def samples_in_scenes(self, scene_names) -> List[dict]:
+        names = set(scene_names)
+        keep = {tok for tok, s in self.t["scene"].items()
+                if s["name"] in names}
+        rows = [s for s in self.t["sample"].values()
+                if s["scene_token"] in keep]
+        rows.sort(key=lambda s: (s["scene_token"], s["timestamp"]))
+        return rows
+
+
+# ---------------------------------------------------------------------------
+# dataset
+# ---------------------------------------------------------------------------
 
 
 class NuScenesDataset:
@@ -48,39 +155,34 @@ class NuScenesDataset:
                  split: str = "val",
                  cam_res: Tuple[int, int] = (224, 400),
                  cameras: Sequence[str] = NUSCENES_CAMERAS,
-                 normalize_cam_img: bool = True, **_):
-        _require_devkit()
-        from nuscenes.nuscenes import NuScenes
-        from nuscenes.utils.splits import create_splits_scenes
-
+                 normalize_cam_img: bool = True,
+                 scene_names: Optional[Sequence[str]] = None, **_):
         root = dataset_dir or os.environ.get("NUSCENES_DATA_DIR", "")
-        self.nusc = NuScenes(version=version, dataroot=root, verbose=False)
+        self.nusc = NuScenesTables(root, version)
         self.cameras = list(cameras)
         self.cam_res = cam_res
         self.normalize = normalize_cam_img
 
-        scene_names = set(create_splits_scenes()[split])
-        self.samples = [
-            s for s in self.nusc.sample
-            if self.nusc.get("scene", s["scene_token"])["name"] in scene_names]
+        if scene_names is None:
+            scene_names = scene_split(split)
+        self.samples = self.nusc.samples_in_scenes(scene_names)
         print(f"NuScenesDataset[{split}]: {len(self)} samples")
 
     def __len__(self):
         return len(self.samples)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        from nuscenes.utils.geometry_utils import transform_matrix
-        from pyquaternion import Quaternion
         import cv2
 
+        nusc = self.nusc
         sample = self.samples[idx]
+        data = nusc.sample_data_by_sample[sample["token"]]
         imgs, Ks, Es = [], [], []
         for cam in self.cameras:
-            sd = self.nusc.get("sample_data", sample["data"][cam])
-            cs = self.nusc.get("calibrated_sensor",
-                               sd["calibrated_sensor_token"])
+            sd = data[cam]
+            cs = nusc.t["calibrated_sensor"][sd["calibrated_sensor_token"]]
             img = cv2.cvtColor(
-                cv2.imread(str(Path(self.nusc.dataroot) / sd["filename"])),
+                cv2.imread(str(nusc.root / sd["filename"])),
                 cv2.COLOR_BGR2RGB)
             adjust = cg.CamIntrinsicAdjust(rescale_first=False)
             adjust.set_scale(self.cam_res[1] / img.shape[1],
@@ -90,25 +192,20 @@ class NuScenesDataset:
             imgs.append(cg.normalize_image(img01) if self.normalize
                         else img01)
             Ks.append(adjust.apply(np.asarray(cs["camera_intrinsic"])))
-            # ego_SE3_cam
-            E = transform_matrix(cs["translation"],
-                                 Quaternion(cs["rotation"]))
-            Es.append(E.astype(np.float32))
+            Es.append(se3(cs["rotation"], cs["translation"])
+                      .astype(np.float32))  # ego_SE3_cam
 
-        # BEV raster from map + annotations around the ego pose
-        lidar_sd = self.nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
-        pose = self.nusc.get("ego_pose", lidar_sd["ego_pose_token"])
+        # BEV raster from annotations around the ego pose
+        lidar_sd = data["LIDAR_TOP"]
+        pose = nusc.t["ego_pose"][lidar_sd["ego_pose_token"]]
         pose_inv = nr.parse_pose(pose["translation"],
-                                 Quaternion(pose["rotation"]).rotation_matrix,
-                                 inv=True)
+                                 quat_to_rotmat(pose["rotation"]), inv=True)
         boxes_by_class: Dict[str, List[np.ndarray]] = {}
-        for ann_token in sample["anns"]:
-            a = self.nusc.get("sample_annotation", ann_token)
-            cls = a["category_name"].split(".")[1] if "." in \
-                a["category_name"] else a["category_name"]
+        for a in nusc.anns_by_sample.get(sample["token"], []):
+            name = nusc.category_name(a)
+            cls = name.split(".")[1] if "." in name else name
             quad = nr.box_bottom_corners(
-                a["translation"], a["size"],
-                Quaternion(a["rotation"]).yaw_pitch_roll[0])
+                a["translation"], a["size"], quat_yaw(a["rotation"]))
             boxes_by_class.setdefault(cls, []).append(quad)
         dyn = nr.get_dynamic_layers(boxes_by_class, pose_inv)
         static = np.zeros(dyn.shape[:2] + (4,), np.float32)

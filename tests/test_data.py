@@ -226,3 +226,139 @@ def test_square_crop_ring_side_rear_center_crop():
     outp = cg.square_crop(imgp, "ring_rear_left")
     np.testing.assert_array_equal(outp, imgp[1:5])
     assert cg.square_crop_offsets("ring_rear_left", 6, 4) == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# nuScenes loader against a synthetic devkit-format fixture
+# ---------------------------------------------------------------------------
+
+
+def _write_nuscenes_fixture(root, n_samples=2, img_hw=(32, 48)):
+    """Minimal v1.0-mini-shaped table tree + jpgs: 1 scene, n samples,
+    6 cameras + LIDAR_TOP, one car annotation per sample."""
+    import json
+    import cv2
+    from bevgen_tpu.data import nuscenes as ns
+
+    version = "v1.0-mini"
+    tdir = root / version
+    tdir.mkdir(parents=True)
+    h, w = img_hw
+
+    sensors, calib, sample_data, ego_pose = [], [], [], []
+    chans = list(ns.NUSCENES_CAMERAS) + ["LIDAR_TOP"]
+    for ch in chans:
+        sensors.append({"token": f"sen-{ch}", "channel": ch,
+                        "modality": "lidar" if "LIDAR" in ch else "camera"})
+        row = {"token": f"cal-{ch}", "sensor_token": f"sen-{ch}",
+               "translation": [1.0, 0.0, 1.5],
+               "rotation": [0.5, -0.5, 0.5, -0.5]}
+        if "LIDAR" not in ch:
+            row["camera_intrinsic"] = [[40.0, 0.0, w / 2],
+                                       [0.0, 40.0, h / 2],
+                                       [0.0, 0.0, 1.0]]
+        calib.append(row)
+
+    scene = [{"token": "scene0", "name": "scene-9999", "log_token": "log0"}]
+    samples, anns, instances = [], [], []
+    categories = [{"token": "cat-car", "name": "vehicle.car"}]
+    rng = np.random.default_rng(0)
+    for i in range(n_samples):
+        tok = f"samp{i}"
+        samples.append({"token": tok, "scene_token": "scene0",
+                        "timestamp": 1000 + i})
+        ego_pose.append({"token": f"pose{i}",
+                         "translation": [100.0 + i, 200.0, 0.0],
+                         "rotation": [1.0, 0.0, 0.0, 0.0],
+                         "timestamp": 1000 + i})
+        for ch in chans:
+            fname = f"samples/{ch}/{tok}.jpg"
+            if "LIDAR" not in ch:
+                (root / "samples" / ch).mkdir(parents=True, exist_ok=True)
+                img = rng.integers(0, 255, (h, w, 3), np.uint8)
+                cv2.imwrite(str(root / fname), img)
+            sample_data.append({
+                "token": f"sd-{tok}-{ch}", "sample_token": tok,
+                "ego_pose_token": f"pose{i}",
+                "calibrated_sensor_token": f"cal-{ch}",
+                "filename": fname, "is_key_frame": True})
+        instances.append({"token": f"inst{i}", "category_token": "cat-car"})
+        anns.append({"token": f"ann{i}", "sample_token": tok,
+                     "instance_token": f"inst{i}",
+                     "translation": [105.0 + i, 202.0, 0.5],
+                     "size": [2.0, 4.5, 1.6],
+                     "rotation": [0.924, 0.0, 0.0, 0.383]})
+
+    tables = {"scene": scene, "sample": samples, "sample_data": sample_data,
+              "calibrated_sensor": calib, "sensor": sensors,
+              "ego_pose": ego_pose, "sample_annotation": anns,
+              "instance": instances, "category": categories}
+    for name, rows in tables.items():
+        (tdir / f"{name}.json").write_text(json.dumps(rows))
+    return version
+
+
+def test_nuscenes_loader_synthetic_fixture(tmp_path):
+    """End-to-end drive of the devkit-free loader on a synthetic
+    v1.0-mini-shaped tree: schema, shapes, intrinsics rescale, raster."""
+    from bevgen_tpu.data import nuscenes as ns
+
+    version = _write_nuscenes_fixture(tmp_path)
+    ds = ns.NuScenesDataset(version=version, dataset_dir=str(tmp_path),
+                            cam_res=(16, 24), scene_names=["scene-9999"])
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["image"].shape == (6, 16, 24, 3)
+    assert item["segmentation"].shape == (256, 256, 12)
+    assert item["intrinsics"].shape == (6, 3, 3)
+    assert item["extrinsics"].shape == (6, 4, 4)
+    assert item["dataset"] == "nuscenes"
+    assert item["sample_token"] == "samp0"
+    # intrinsics rescaled to the target resolution: fx scaled by 24/48
+    np.testing.assert_allclose(item["intrinsics"][0, 0, 0], 20.0)
+    np.testing.assert_allclose(item["intrinsics"][0, 1, 1], 20.0)
+    np.testing.assert_allclose(
+        item["intrinsics_inv"][0] @ item["intrinsics"][0], np.eye(3),
+        atol=1e-5)
+    # the car annotation 5m ahead rasterizes into the car channel
+    assert item["segmentation"][..., 4 + 2 + 0].sum() > 0
+    # extrinsics: ego_SE3_cam with the fixture's optical-frame rotation
+    E = item["extrinsics"][0]
+    np.testing.assert_allclose(E[:3, 3], [1.0, 0.0, 1.5], atol=1e-6)
+    np.testing.assert_allclose(np.abs(np.linalg.det(E[:3, :3])), 1.0,
+                               atol=1e-6)
+
+
+def test_nuscenes_quat_helpers_match_scipy():
+    """quat_to_rotmat / quat_yaw vs scipy's Rotation (wxyz -> xyzw)."""
+    from scipy.spatial.transform import Rotation
+    from bevgen_tpu.data import nuscenes as ns
+
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        q = rng.standard_normal(4)
+        q /= np.linalg.norm(q)
+        R_ref = Rotation.from_quat([q[1], q[2], q[3], q[0]]).as_matrix()
+        np.testing.assert_allclose(ns.quat_to_rotmat(q), R_ref, atol=1e-12)
+        yaw = ns.quat_yaw(q)
+        np.testing.assert_allclose(
+            [np.cos(yaw), np.sin(yaw)],
+            [R_ref[0, 0], R_ref[1, 0]] /
+            np.hypot(R_ref[0, 0], R_ref[1, 0]), atol=1e-12)
+    # se3 inverse composes to identity
+    q = rng.standard_normal(4); q /= np.linalg.norm(q)
+    t = rng.standard_normal(3)
+    np.testing.assert_allclose(ns.se3(q, t) @ ns.se3(q, t, inv=True),
+                               np.eye(4), atol=1e-12)
+
+
+def test_nuscenes_scene_splits_shipped():
+    """The official nuScenes trainval scene lists ship as data files
+    (reference bev_utils/splits/)."""
+    from bevgen_tpu.data.nuscenes import scene_split
+    train, val, test = (scene_split(s) for s in ("train", "val", "test"))
+    assert len(train) == 700 and len(val) == 150 and len(test) == 6
+    assert not set(train) & set(val)
+    assert all(s.startswith("scene-") for s in train[:5] + val[:5])
+    with pytest.raises(ValueError, match="unknown nuScenes split"):
+        scene_split("bogus")

@@ -45,7 +45,7 @@ def test_encode_bev_token_range(tiny_pipe):
     assert (arr >= 0).all() and (arr < n).all()
 
 
-def test_ar_pipeline_end_to_end():
+def test_ar_sparse_pipeline_end_to_end():
     import jax
     from bevgen_tpu.core.config import tiny_test_config
     from bevgen_tpu.pipelines.ar import ARPipeline
@@ -96,6 +96,37 @@ def test_sharded_generation_multichip(tiny_pipe):
         jnp.asarray(batch["extrinsics_inv"]), jax.random.PRNGKey(0))
     agreement = (arr == np.asarray(single[1])).mean()
     assert agreement > 0.9, f"SPMD/single agreement {agreement:.3f}"
+
+
+def test_dp_scaling_identical_outputs(tiny_pipe):
+    """Pure-dp scaling of make_sharded_generate: a fixed global batch
+    produces IDENTICAL token ids on 1, 2, 4 and 8 dp shards. dp has no
+    cross-shard collectives in the forward, so unlike the dp x tp case
+    (all-reduce ordering) there is no numerical excuse — sharding the
+    batch must be bit-transparent."""
+    from bevgen_tpu.parallel import sharding as shd
+    from bevgen_tpu.pipelines.generate import make_sharded_generate
+    pipe, params = tiny_pipe
+    batch = fake_batch(pipe.config, batch_size=8)
+    seg = jnp.asarray(batch["segmentation"])
+    ii = jnp.asarray(batch["intrinsics_inv"])
+    ei = jnp.asarray(batch["extrinsics_inv"])
+    rng = jax.random.PRNGKey(3)
+
+    results = {}
+    for dp in (1, 2, 4, 8):
+        mesh = shd.make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
+        run, shard_params, shard_batch = make_sharded_generate(pipe, mesh)
+        with mesh:
+            p = shard_params(params)
+            s, i2, e2 = shard_batch(seg, ii, ei)
+            _, ids = run(p, s, i2, e2, rng)
+        results[dp] = np.asarray(ids)
+
+    for dp in (2, 4, 8):
+        np.testing.assert_array_equal(
+            results[1], results[dp],
+            err_msg=f"dp={dp} generation diverged from dp=1")
 
 
 def test_rect_geometry_pipeline():
