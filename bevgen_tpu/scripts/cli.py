@@ -85,6 +85,32 @@ def _apply_cli_overrides(cfg: PipelineConfig, args: Dict[str, str]
     return cfg, passthrough
 
 
+def print_config_tree(cfg: PipelineConfig, extra: Dict[str, object] = None,
+                      console=None) -> None:
+    """Render the composed config as a rich tree at startup
+    (utils/rich_utils.py:18 print_config_tree parity). Derived fields
+    (properties) are omitted — only the authored dataclass fields show,
+    like the reference's composed-yaml dump."""
+    import dataclasses
+    from rich.console import Console
+    from rich.tree import Tree
+
+    def add(node, name, value):
+        if dataclasses.is_dataclass(value):
+            sub = node.add(f"[bold cyan]{name}[/]")
+            for f in dataclasses.fields(value):
+                add(sub, f.name, getattr(value, f.name))
+        else:
+            node.add(f"[green]{name}[/]: {value!r}")
+
+    tree = Tree("[bold]config[/]")
+    for f in dataclasses.fields(cfg):
+        add(tree, f.name, getattr(cfg, f.name))
+    for k, v in (extra or {}).items():
+        tree.add(f"[yellow]{k}[/]: {v!r}")
+    (console or Console()).print(tree)
+
+
 def setup_platform(args: Dict[str, str]):
     """Honor platform=cpu / devices=N before jax backend init."""
     import os

@@ -54,6 +54,11 @@ def main(argv=None):
     # quant=int8 switches to the int8 serving tree
     pipeline = args.pop("pipeline", "muse")
     quant = args.pop("quant", "none")
+    if args.pop("print_config", "true").lower() == "true":
+        cli.print_config_tree(cfg, extra={
+            "eval_generate": save_dir, "ckpt_path": ckpt_path,
+            "pipeline": pipeline, "quant": quant, "split": split,
+            "fake": fake})
     if args:
         print(f"[generate] ignoring unknown args: {sorted(args)}")
 

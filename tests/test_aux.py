@@ -260,3 +260,113 @@ def test_edit_scene_cli(tmp_path):
     assert (tmp_path / "sample" / "edited").exists()
     jpgs = list((tmp_path / "sample" / "edited").glob("*.jpg"))
     assert len(jpgs) == 3  # tiny_test has 3 cameras
+
+
+def test_edit_server_end_to_end():
+    """Interactive editing web UI (stdlib HTTP replacement for the
+    reference gradio demo, interactive_editing.py:297): serve, fetch the
+    page + annotations, POST an edited cuboid table, decode the images."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from bevgen_tpu.core.config import tiny_test_config, apply_overrides
+    from bevgen_tpu.scripts import edit_server
+
+    cfg = apply_overrides(tiny_test_config(),
+                          {"muse.sample_iterations": 2})
+    session = edit_server.EditSession(cfg)
+    srv = edit_server.make_server(session, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "scene editor" in page and "/api/generate" in page
+
+        anns = json.loads(urllib.request.urlopen(
+            f"{base}/api/annotations").read())
+        assert anns and {"category", "x", "y"} <= set(anns[0])
+
+        rows = anns + [{"category": "PEDESTRIAN", "x": 6, "y": 2,
+                        "yaw": 0, "length": 0.8, "width": 0.8}]
+        req = urllib.request.Request(
+            f"{base}/api/generate",
+            data=json.dumps({"cuboids": rows, "seed": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert out["bev"].startswith("data:image/png;base64,")
+        assert len(out["cameras"]) == 3  # tiny_test cameras
+        from PIL import Image
+        png = base64.b64decode(out["bev"].split(",", 1)[1])
+        bev = Image.open(io.BytesIO(png))
+        assert bev.size == (cfg.cond_stage.resolution,) * 2
+
+        # malformed request surfaces a JSON error, not a dead socket
+        bad = urllib.request.Request(
+            f"{base}/api/generate", data=b"{not json",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "error" in json.loads(e.read())
+    finally:
+        srv.shutdown()
+
+
+def test_clip_tokenizer_with_synthetic_vocab(tmp_path):
+    """SimpleTokenizer encode/decode on a synthetic merges file (same
+    format as CLIP's bpe_simple_vocab_16e6.txt.gz): merge application
+    order follows bpe_ranks, decode round-trips (utils/tokenizer.py:51)."""
+    import gzip
+    from bevgen_tpu.utils.tokenizer import SimpleTokenizer, bytes_to_unicode
+
+    merges = ["#version: synthetic",
+              "h e", "l l", "he ll", "o</w> o</w>", "hell o</w>"]
+    path = tmp_path / "bpe.txt.gz"
+    with gzip.open(path, "wt") as f:
+        f.write("\n".join(merges) + "\n")
+
+    tok = SimpleTokenizer(str(path))
+    # "hello" -> h+e, l+l, he+ll, hell+o</w> fully merges into one token
+    ids = tok.encode("Hello")
+    assert len(ids) == 1
+    assert tok.decoder[ids[0]] == "hello</w>"
+    assert tok.decode(ids).strip() == "hello"
+
+    # unmerged word falls back to byte tokens ending with </w>
+    ids2 = tok.encode("xy")
+    assert len(ids2) == 2
+    assert tok.decode(ids2).strip() == "xy"
+
+    # multi-word + punctuation through the CLIP regex
+    ids3 = tok.encode("hello, hello")
+    assert tok.decode(ids3).strip() == "hello , hello"
+
+    # byte encoder covers all 256 bytes bijectively
+    b2u = bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+
+    missing = tmp_path / "nope.gz"
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        SimpleTokenizer(str(missing))
+
+
+def test_print_config_tree_renders():
+    """Startup config tree (reference rich_utils.print_config_tree)."""
+    import io
+    from rich.console import Console
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.scripts.cli import print_config_tree
+
+    buf = io.StringIO()
+    print_config_tree(tiny_test_config(), extra={"ckpt_path": None},
+                      console=Console(file=buf, width=100))
+    out = buf.getvalue()
+    for key in ("transformer", "first_stage", "num_layers", "ckpt_path"):
+        assert key in out, f"{key} missing from config tree"
