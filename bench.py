@@ -1,52 +1,49 @@
 """Headline benchmark: multi-camera images/sec/chip for full scene
 generation (BEV raster -> 18-step MaskGit decode w/ CFG + self-critic ->
-VQ-GAN pixel decode), flagship Argoverse config, batch 16, bf16.
+VQ-GAN pixel decode), flagship Argoverse 7-cam config, bf16.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+The headline value is the BASELINE-named workload (batch 16); the
+measured serving optimum (batch 2) rides along as "serving_batch2".
 
-Baseline: the reference pipeline on its supported A5000 platform. It
-publishes no end-to-end throughput; we derive ~1.2 images/sec from its
-decode cost structure (18 steps x 4 sequential transformer forwards per
-batch — 2 CFG + 2 self-critic, muse_maskgit_pytorch.py:564-611 — of a
-14-layer/1024-wide model over 1024 tokens, plus stage-1 conv decode, at
-A5000 fp16 throughput; consistent with the 120.86 ms dense fwd+bwd
-micro-benchmark in scripts/inference.py:175). BASELINE.md target:
->=5x this per chip.
+Baseline derivation (scripts_dev/derive_baseline.py; every assumption
+favors the reference):
+  The reference publishes no end-to-end throughput, and the configs
+  behind its micro-benchmark comments (scripts/inference.py:170-179) do
+  not exist in the shipped checkout, so the 120.86 ms dense number has
+  no recoverable batch size and cannot anchor a baseline. Instead we
+  EXECUTE the actual reference models on torch-CPU under
+  torch.profiler(with_flops=True):
+    - MaskGitTransformerMultiView forward, measured at 3 and 5 cams
+      (its Cameras enum tops out at 5) and extrapolated to 7 via the
+      exact F(s) = a*s + b*s^2 matmul-FLOP scaling -> 959.9 GFLOP/scene
+      -forward; stage-1 decode 252.8 GFLOP/camera; BEV encode 139.1.
+    - Decode structure the reference executes per batch
+      (muse_maskgit_pytorch.py:511-621): 18 steps x (2 CFG forwards +
+      2 SelfCritic cond-scaled forwards) + 7 camera decodes + 1 BEV
+      encode = 71.0 TFLOP/scene = 10.15 TFLOP/image.
+    - A5000 dense fp16 tensor peak 111.1 TFLOP/s at an assumed 0.40
+      whole-pipeline MFU — the TOP of what eager-mode fp16 torch with
+      non-flash einsum attention (plus its un-billed elementwise l2norm/
+      GEGLU/softmax work and python-loop overhead) achieves on Ampere;
+      sensitivity: MFU 0.25 -> 2.7 img/s, 0.50 -> 5.5 img/s.
+  => baseline 4.4 img/s. (The previous 1.2 estimate under-credited the
+  reference; this replaces it with a measured-FLOP derivation.)
 """
 import json
 import os
 import sys
 import time
 
-BASELINE_IMAGES_PER_SEC = 1.2  # reference A5000 estimate (see docstring)
+BASELINE_IMAGES_PER_SEC = 4.4  # reference A5000 estimate (see docstring)
 
 
-def main():
+def measure(pipe, params, cfg, batch_size, reps, no_critic):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from bevgen_tpu.core.config import argoverse_muse_7cam_config
     from bevgen_tpu.data.fake import fake_batch
-    from bevgen_tpu.pipelines.generate import BEVGenPipeline
-
-    # batch sweep on v5e (docs/PERF_NOTES.md): img/s/chip peaks at
-    # batch 2 (9.1) and falls monotonically to 7.8 at batch 16 — small
-    # batches win on BOTH throughput and latency for this pipeline, so
-    # the serving default is the measured optimum.
-    batch_size = int(os.environ.get("BENCH_BATCH", "2"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-
-    cfg = argoverse_muse_7cam_config()
-    pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
-    params = pipe.init_params(jax.random.PRNGKey(0))
-    quant = os.environ.get("BENCH_QUANT", "0") == "1"
-    if quant:
-        # int8 W8A8 decode transformer (ops/quant.py) — serving option
-        pipe, params = pipe.quantized(params)
-    # serve without the critic pass (reference force_not_use_token_critic,
-    # muse_maskgit_pytorch.py:521) — 1 transformer forward/step instead of 2
-    no_critic = os.environ.get("BENCH_NO_CRITIC", "0") == "1"
 
     batch = fake_batch(cfg, batch_size=batch_size)
     seg = jnp.asarray(batch["segmentation"])
@@ -74,20 +71,50 @@ def main():
         t0 = time.perf_counter()
         run_sync(jax.random.PRNGKey(2 + i))
         times.append(time.perf_counter() - t0)
-
-    dt = min(times)
     n_images = batch_size * cfg.transformer.num_cams
-    ips = n_images / dt
+    return n_images / min(times)
+
+
+def main():
+    import jax.numpy as jnp
+    import jax
+    from bevgen_tpu.core.config import argoverse_muse_7cam_config
+    from bevgen_tpu.pipelines.generate import BEVGenPipeline
+
+    # headline = the BASELINE.md-named workload (batch 16). The measured
+    # serving optimum is batch 2 (docs/PERF_NOTES.md batch sweep: img/s
+    # peaks small and falls monotonically to batch 16) — reported
+    # alongside so neither number hides the other.
+    headline_batch = int(os.environ.get("BENCH_BATCH", "16"))
+    serving_batch = int(os.environ.get("BENCH_SERVING_BATCH", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+
+    cfg = argoverse_muse_7cam_config()
+    pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    if os.environ.get("BENCH_QUANT", "0") == "1":
+        # int8 W8A8 decode transformer (ops/quant.py) — serving option
+        pipe, params = pipe.quantized(params)
+    # serve without the critic pass (reference force_not_use_token_critic,
+    # muse_maskgit_pytorch.py:521) — 1 transformer forward/step instead of 2
+    no_critic = os.environ.get("BENCH_NO_CRITIC", "0") == "1"
+
+    ips = measure(pipe, params, cfg, headline_batch, reps, no_critic)
+    extra = {}
+    if serving_batch and serving_batch != headline_batch:
+        extra["serving_batch%d" % serving_batch] = round(
+            measure(pipe, params, cfg, serving_batch, reps, no_critic), 3)
 
     mode = ("confidence re-mask" if no_critic else "self-critic")
-    dtype_s = "int8" if quant else "bf16"
+    dtype_s = "int8" if os.environ.get("BENCH_QUANT", "0") == "1" else "bf16"
     print(json.dumps({
         "metric": "multi-cam images/sec/chip (7-camera 256px scene "
-                  f"generation, batch {batch_size}, 18-step MaskGit + "
+                  f"generation, batch {headline_batch}, 18-step MaskGit + "
                   f"CFG + {mode} + VQ decode, {dtype_s})",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
+        **extra,
     }))
 
 
