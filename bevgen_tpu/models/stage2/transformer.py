@@ -54,12 +54,39 @@ def _make_dense(quant: str, dtype):
                                     param_dtype=jnp.float32, name=name)
 
 
+class _ScaleParam(nn.Module):
+    """The LayerNorm gamma, at the same param path as nn.LayerNorm
+    ('<name>/scale') so checkpoints are layout-identical across the
+    fused/XLA paths."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("scale", nn.initializers.ones, (self.dim,),
+                          jnp.float32)
+
+
 class LayerNormG(nn.Module):
-    """Scale-only LayerNorm, eps 1e-5 (muse_maskgit_pytorch.py:62-69)."""
+    """Scale-only LayerNorm, eps 1e-5 (muse_maskgit_pytorch.py:62-69).
+
+    A single-pass Pallas kernel exists (ops/pallas/layernorm.py) but is
+    NOT wired by default: MEASURED SLOWER end-to-end (8.59 vs 9.2 img/s
+    batch-2 flagship; x8-chain microbench 4.97 vs 4.35 ms at the decode's
+    (32,1792,1024) shape — scripts_dev/bench_layernorm.py). A standalone
+    LN kernel forfeits XLA's fusion of the norm into the neighboring
+    residual-add/matmul epilogues, costing more HBM round trips than its
+    in-kernel MXU reduction saves. use_fused=True opts in for
+    experiments; checkpoints are layout-identical either way."""
     dtype: Dtype = jnp.float32
+    use_fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
+        use_fused = self.use_fused if self.use_fused is not None else False
+        if use_fused and x.ndim >= 2 and x.shape[-2] >= 8:
+            from bevgen_tpu.ops.pallas.layernorm import make_layernorm
+            scale = _ScaleParam(x.shape[-1], name="norm")()
+            return make_layernorm(eps=1e-5)(x, scale)
         return nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=True,
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name="norm")(x)
@@ -157,10 +184,6 @@ class CosineAttention(nn.Module):
         kv = dense(inner * 2, "to_kv")(kv_in)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(b, m, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, m, h, dh).transpose(0, 2, 1, 3)
-
         null_kv = self.param("null_kv", nn.initializers.normal(1.0),
                              (2, h, 1, dh), jnp.float32)
         q_scale = self.param("q_scale", nn.initializers.ones, (dh,), jnp.float32)
@@ -169,6 +192,17 @@ class CosineAttention(nn.Module):
         # context_mask is per-sample constant by construction (CFG
         # cond-drop) -> a single keep flag per sample
         keep = context_mask[:, 0] if context_mask is not None else None
+
+        # NOTE: a copy-minimal (b, L, h, dh) kernel entry exists
+        # (ops/pallas/fused_attention.make_cosine_attention_nhd — ONE 5-d
+        # permutation per operand instead of reshape+transpose) but
+        # MEASURED SLOWER end-to-end (7.49 vs 7.80 img/s, batch-16
+        # flagship): XLA lowers the (B,L,G,hg,D)->(B,G,hg,L,D)
+        # permutation with 64-lane granularity, costing more than the
+        # two simple copies it replaces. Kept tested but not wired.
+        q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, m, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, m, h, dh).transpose(0, 2, 1, 3)
 
         if self.mesh is not None and self.mesh.size > 1:
             # manual SPMD around the core: batch over dp, heads over tp

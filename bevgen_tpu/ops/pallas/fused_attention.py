@@ -456,6 +456,147 @@ def fused_cosine_attention_fwd(q, k, v, null_kv, q_scale, k_scale,
     return out.reshape(B, H, Np, D)[:, :, :N]
 
 
+def fused_cosine_attention_fwd_nhd(q, k, v, null_kv, q_scale, k_scale,
+                                   bias=None, keep=None,
+                                   sm_scale: float = 8.0, tile: int = 128,
+                                   head_group: int = 8, tile_q: int = 128,
+                                   interpret: bool = False):
+    """Layout-optimal variant: q (B, N, H, D); k, v (B, M, H, D) — i.e.
+    free bitcast views of the projections' natural (B, L, H*D) output.
+    Returns (B, N, H*D).
+
+    Why: the (b, n, h*d) -> (b, h, n, d) transpose plus the kernel's
+    (B*G, hg, L, D) regroup cost XLA TWO physical copies per operand at
+    decode shapes (profiled: 1.64 s of 14.3 s per batch-16 generate).
+    Folding both into ONE 5-d transpose ((B, L, G, hg, D) ->
+    (B, G, hg, L, D), whose output row-major layout IS the kernel block
+    layout) halves that traffic; the output side gets the same
+    treatment."""
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    Np = math.ceil(N / tile_q) * tile_q
+    Mp = math.ceil(M / tile) * tile
+    nq = Np // tile_q
+    hg = _auto_head_group(H, tile_q, Mp, D, head_group)
+    G = H // hg
+
+    def to_groups(x, Lp):
+        x = _pad_to(x, Lp, 1)                       # (B, Lp, H, D)
+        x = x.reshape(B, Lp, G, hg, D).transpose(0, 2, 3, 1, 4)
+        return x.reshape(B * G, hg, Lp, D)          # bitcast of the above
+
+    ksf = jnp.asarray(k_scale, jnp.float32)
+
+    def l2n_scaled(t, sc):
+        n = jnp.sqrt(jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
+                             keepdims=True))
+        return (t.astype(jnp.float32) / jnp.maximum(n, 1e-12)) * sc
+
+    qp = to_groups(q, Np)
+    kp = to_groups(l2n_scaled(k, ksf).astype(q.dtype), Mp)
+    vp = to_groups(v, Mp)
+    nkv = jnp.asarray(null_kv, jnp.float32)         # (2, H, 1, D)
+    nkv = jnp.stack([l2n_scaled(nkv[0], ksf), nkv[1]])
+    nkv = nkv.reshape(2, G, hg, D).transpose(1, 2, 0, 3)   # (G, hg, 2, D)
+    scales = jnp.stack([jnp.asarray(q_scale, jnp.float32), ksf])
+    has_bias = bias is not None
+    if has_bias:
+        biasp = _pad_to(_pad_to(jnp.asarray(bias, jnp.float32)[None],
+                                Mp, 2), Np, 1)
+    else:
+        biasp = jnp.zeros((1, tile_q, Mp), jnp.float32)
+    keep_arr = (jnp.ones((B,), jnp.int32) if keep is None
+                else jnp.asarray(keep).astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * G, nq),
+        in_specs=[
+            pl.BlockSpec((1, hg, tile_q, D), lambda g, qi, kk: (g, 0, qi, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, 2, D),
+                         lambda g, qi, kk, G=G: (g % G, 0, 0, 0)),
+            pl.BlockSpec((2, D), lambda g, qi, kk: (0, 0)),
+            (pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, qi, 0))
+             if has_bias else
+             pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, 0, 0))),
+        ],
+        out_specs=pl.BlockSpec((1, hg, tile_q, D),
+                               lambda g, qi, kk: (g, 0, qi, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_qknorm_kernel, sm_scale=sm_scale, m_real=M,
+                has_bias=has_bias, groups_per_batch=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * G, hg, Np, D), q.dtype),
+        interpret=interpret,
+    )(keep_arr, qp, kp, vp, nkv, scales, biasp)
+    # one 5-d permutation back to the projections' natural layout
+    out = out.reshape(B, G, hg, Np, D).transpose(0, 3, 1, 2, 4)
+    return out.reshape(B, Np, H * D)[:, :N]
+
+
+def make_cosine_attention_nhd(sm_scale: float = 8.0,
+                              use_pallas: Optional[bool] = None):
+    """cos_attn(q, k, v, null_kv, q_scale, k_scale, bias, keep) in the
+    copy-minimal (B, L, H, D) layout; returns (B, N, H*D). Backward
+    routes through the (B, H, L, D) kernel backward with explicit
+    transposes — training pays two extra copies, the forward-only decode
+    path (where the time goes) pays one."""
+
+    def _to_bhld(x):
+        return x.transpose(0, 2, 1, 3)
+
+    @jax.custom_vjp
+    def attn(q, k, v, null_kv, q_scale, k_scale, bias, keep):
+        return fused_cosine_attention_fwd_nhd(q, k, v, null_kv, q_scale,
+                                              k_scale, bias, keep,
+                                              sm_scale=sm_scale)
+
+    def fwd(q, k, v, null_kv, q_scale, k_scale, bias, keep):
+        return (attn(q, k, v, null_kv, q_scale, k_scale, bias, keep),
+                (q, k, v, null_kv, q_scale, k_scale, bias, keep))
+
+    def bwd(res, g):
+        q, k, v, null_kv, q_scale, k_scale, bias, keep = res
+        B, N, H, D = q.shape
+        inner = make_cosine_attention(sm_scale=sm_scale, use_pallas=False)
+
+        def ref(q, k, v, null_kv, q_scale, k_scale, bias):
+            out = inner(_to_bhld(q), _to_bhld(k), _to_bhld(v), null_kv,
+                        q_scale, k_scale, bias, keep)
+            return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+        _, vjp = jax.vjp(ref, q, k, v, null_kv, q_scale, k_scale, bias)
+        dq, dk, dv, dnull, dqs, dks, dbias = vjp(g)
+        return dq, dk, dv, dnull, dqs, dks, dbias, jnp.zeros_like(keep)
+
+    attn.defvjp(fwd, bwd)
+
+    def _dense(q, k, v, null_kv, q_scale, k_scale, bias, keep):
+        B, N, H, D = q.shape
+        inner = make_cosine_attention(sm_scale=sm_scale, use_pallas=False)
+        out = inner(_to_bhld(q), _to_bhld(k), _to_bhld(v), null_kv,
+                    q_scale, k_scale, bias, keep)
+        return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+    def dispatch(q, k, v, null_kv, q_scale, k_scale, bias=None, keep=None):
+        on_tpu = jax.default_backend() == "tpu"
+        use = use_pallas if use_pallas is not None else on_tpu
+        N, M = q.shape[1], k.shape[1]
+        bias_arr = (jnp.zeros((N, M), jnp.float32) if bias is None
+                    else jnp.asarray(bias, jnp.float32))
+        keep_arr = (jnp.ones((q.shape[0],), jnp.float32) if keep is None
+                    else jnp.asarray(keep).astype(jnp.float32))
+        if not use:
+            return _dense(q, k, v, null_kv, q_scale, k_scale, bias_arr,
+                          keep_arr)
+        return attn(q, k, v, null_kv, q_scale, k_scale, bias_arr, keep_arr)
+
+    return dispatch
+
+
 def make_cosine_attention(sm_scale: float = 8.0,
                           use_pallas: Optional[bool] = None):
     """cos_attn(q, k, v, null_kv, q_scale, k_scale, bias, keep) -> out.

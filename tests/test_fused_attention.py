@@ -194,3 +194,45 @@ def test_cosine_dispatch_gradients_cpu():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+
+@pytest.mark.parametrize("keep", [None, "flags"])
+def test_fused_cosine_nhd_matches_dense(keep):
+    """Copy-minimal (B, L, H, D) entry point: same numerics as the
+    (B, H, L, D) kernel and the dense reference, output (B, N, H*D)."""
+    q, k, v, nkv, qs, ks, bias = cosine_case(H=4)
+    keep_arr = jnp.asarray([1, 0], jnp.int32) if keep else None
+    B, H, N, D = q.shape
+    out = np.asarray(fa.fused_cosine_attention_fwd_nhd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), nkv, qs, ks, bias, keep_arr,
+        sm_scale=8.0, head_group=2, interpret=True))
+    ref = np.asarray(dense_cosine_reference(q, k, v, nkv, qs, ks, bias,
+                                            keep_arr))
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_cosine_nhd_dispatch_gradients_cpu():
+    """make_cosine_attention_nhd dense path: differentiable, matches the
+    reference, and grads are finite in all args."""
+    q, k, v, nkv, qs, ks, bias = cosine_case(N=64, M=40)
+    B, H, N, D = q.shape
+    cos = fa.make_cosine_attention_nhd(sm_scale=8.0, use_pallas=False)
+    qn, kn, vn = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+
+    out = np.asarray(cos(qn, kn, vn, nkv, qs, ks, bias))
+    ref = np.asarray(dense_cosine_reference(
+        q, k, v, nkv, qs, ks, bias, None)).transpose(0, 2, 1, 3).reshape(
+            B, N, H * D)
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+    def loss(qn, kn, vn, nkv, qs, ks, bias):
+        return jnp.sum(cos(qn, kn, vn, nkv, qs, ks, bias) ** 2)
+
+    grads = jax.grad(loss, argnums=tuple(range(7)))(qn, kn, vn, nkv,
+                                                    qs, ks, bias)
+    for gi in grads:
+        assert np.isfinite(np.asarray(gi)).all()
+        assert np.abs(np.asarray(gi)).max() > 0
