@@ -238,7 +238,6 @@ def _scatter_tril(flat: np.ndarray) -> np.ndarray:
     return full
 
 
-_GPT_NORMS = {"ln1": "ln1", "ln2": "ln2", "ln_f": "ln_f"}
 _GPT_MLP = {"0": "mlp_fc", "2": "mlp_proj"}
 
 
@@ -333,8 +332,10 @@ def convert_net2net(state: Dict[str, np.ndarray],
                                           np.float32)),
             "bias": np.asarray(groups["critic"]["bias"], np.float32)}}
     if groups["critic_tf"]:
+        # the TokenCritic shares the generator's config, so when the
+        # model runs with self_cond it also owns self_cond params
         maskgit_params["token_critic"] = convert_muse_transformer(
-            groups["critic_tf"])
+            groups["critic_tf"], self_cond=self_cond)
     return {
         "first_stage": {"params": convert_stage1(groups["first"])},
         "cond_stage": {"params": convert_stage1(groups["cond"])},

@@ -238,6 +238,17 @@ class MuseConfig:
     cond_transformer_multi_view_muse.py:54)."""
     sample_iterations: int = 18
     cond_scale: float = 3.0
+    # The reference's classifier-free guidance is a NO-OP at inference:
+    # TransformerMultiView.forward only drops the condition when
+    # `self.training` (muse_maskgit_pytorch.py:353-355), and generate()
+    # runs under eval_decorator — so the "null" forward of
+    # forward_with_cond_scale (:262-281) sees the full condition and the
+    # cond_scale mix cancels exactly. Faithful serving therefore runs
+    # cond-only single forwards (default). real_cfg=True enables ACTUAL
+    # guidance (null pass with the condition dropped, mixed by
+    # cond_scale) — an intentional deviation the reference's code
+    # structure suggests was intended but never reached.
+    real_cfg: bool = False
     cond_drop_prob: float = 0.1
     self_token_critic: bool = True
     # separate critic TRANSFORMER (TokenCritic,

@@ -225,9 +225,18 @@ def canonical_camera_rig(cfg: MultiViewConfig) -> Tuple[np.ndarray, np.ndarray]:
 
     The reference loads a measured rig from `pretrained/cam_data_*.pt`
     (mask_generator.py:89-110); we make the rig an explicit, reproducible
-    function of the config so mask artifacts are deterministic. Extrinsics
-    are ego<-cam (so their inverse gives cam rays in ego frame), with the
-    standard camera axes convention (+z forward, +x right, +y down).
+    function of the config so mask artifacts are deterministic.
+
+    CONVENTION (matches the reference batch dict AND the cam_data
+    artifact): the stored extrinsics matrix is `ego_SE3_cam` (cam->ego,
+    bev_utils/argoverse.py:288,355), camera axes +z forward, +x right,
+    +y down. Every consumer — the model's ray embedding and
+    image_direction_vectors — applies `.inverse()` and multiplies
+    CAMERA-frame points by it (mask_generator.py:97-103,
+    mingpt_sparse.py:332-350), i.e. rays come out as R^T p rather than
+    the geometric R p; that reference quirk is reproduced identically
+    for canonical and measured rigs so the two paths differ only by
+    the rig VALUES, never by a frame flip.
     """
     names = cfg.camera_names
     n = len(names)
@@ -251,10 +260,7 @@ def canonical_camera_rig(cfg: MultiViewConfig) -> Tuple[np.ndarray, np.ndarray]:
                       [0.0, -1.0, 0.0]])
         E = np.eye(4)
         E[:3, :3] = R
-        extr[i] = E
-    # reference convention: stored matrix is ego->cam ("extrinsics"),
-    # its inverse is used everywhere
-    extr = np.linalg.inv(extr)
+        extr[i] = E  # ego_SE3_cam (cam->ego), see docstring
     return intr, extr
 
 

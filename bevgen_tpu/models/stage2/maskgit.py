@@ -3,11 +3,15 @@
 TPU-native re-design of the reference `MaskGit`
 (modules/stage2/muse_maskgit_pytorch.py:467-729):
 
-  * `generate` is ONE jitted `lax.scan` over the decode steps — every
-    step does exactly two transformer forwards at 2x batch (CFG cond+null
-    batched together; then the self-critic pass, also CFG-batched),
-    with on-device top-k filtering, gumbel sampling and re-masking.
-    The reference instead runs 4 sequential python-loop forwards/step.
+  * `generate` is ONE jitted `lax.scan` over the decode steps — per
+    step, the FAITHFUL default runs just two 1x-batch transformer
+    forwards (demask + critic): the reference's classifier-free
+    guidance is training-gated and therefore a NO-OP in its eval-mode
+    generate, and its SelfCritic discards the null pass — see
+    cfg_logits/cfg_critic. The reference spends 4 sequential
+    python-loop forwards per step computing the same numbers.
+    MuseConfig.real_cfg=True opts into ACTUAL guidance (cond+null
+    batched at 2x batch, mixed by cond_scale).
   * the dynamic "mask the k lowest-scored tokens" (k varies per step)
     is rank-based: sort once, compare ranks against the traced k —
     static shapes, no dynamic top-k.
@@ -100,11 +104,30 @@ def _cfg_batch(x):
 
 
 def cfg_logits(model: MaskGit, params, ids, cond_ids, ii, ei,
-               cond_scale: float, self_cond_embed=None):
-    """Guided logits: null + (cond - null) * scale, one 2x-batch forward
-    (muse_maskgit_pytorch.py:262-281). Returns (logits, cond_embed);
-    cond_embed feeds the next step's self-conditioning
-    (muse_maskgit_pytorch.py:576-585)."""
+               cond_scale: float, self_cond_embed=None,
+               real_cfg: bool = False):
+    """Decode-step logits. Returns (logits, cond_embed); cond_embed
+    feeds the next step's self-conditioning
+    (muse_maskgit_pytorch.py:576-585).
+
+    Default (faithful): ONE cond-only forward. The reference's
+    forward_with_cond_scale (muse_maskgit_pytorch.py:262-281) does run a
+    second "null" forward with cond_drop_prob=1, but the drop is gated
+    on `self.training` (:353-355) and generate() runs under
+    eval_decorator — the null forward sees the full condition, so
+    `null + (cond - null) * scale` cancels to the cond logits exactly.
+    We skip the forward the reference throws away (halving the
+    demask-pass FLOPs) and return bit-equal logits.
+
+    real_cfg=True: ACTUAL classifier-free guidance — cond+null batched
+    into one 2x-batch forward with the null half's condition dropped to
+    the learned null-KV, mixed by cond_scale. A deliberate deviation
+    (MuseConfig.real_cfg)."""
+    if not real_cfg:
+        out: TransformerOutput = model.apply(
+            params, ids, cond_ids, ii, ei, cond_keep=None,
+            self_cond_embed=self_cond_embed)
+        return out.logits.astype(jnp.float32), out.embed
     b = ids.shape[0]
     keep = jnp.concatenate([jnp.ones((b,), bool), jnp.zeros((b,), bool)])
     sc = (_cfg_batch(self_cond_embed) if self_cond_embed is not None
@@ -118,15 +141,35 @@ def cfg_logits(model: MaskGit, params, ids, cond_ids, ii, ei,
 
 
 def cfg_critic(model: MaskGit, params, ids, cond_ids, ii, ei,
-               cond_scale: float):
-    b = ids.shape[0]
-    keep = jnp.concatenate([jnp.ones((b,), bool), jnp.zeros((b,), bool)])
-    scores = model.apply(
-        params, _cfg_batch(ids), _cfg_batch(cond_ids), _cfg_batch(ii),
-        _cfg_batch(ei), cond_keep=keep, method=MaskGit.critic_logits)
-    scores = scores.astype(jnp.float32)
-    cond, null = scores[:b], scores[b:]
-    return null + (cond - null) * cond_scale
+               cond_scale: float, real_cfg: bool = False):
+    """Critic scores for re-masking (muse_maskgit_pytorch.py:602-607).
+
+    Faithful semantics are cond-only in BOTH critic modes:
+      * SelfCritic.forward_with_cond_scale (:393-395) returns
+        to_pred(embed) where the embed comes from the COND pass only
+        (forward_with_cond_scale's return_embed path, :272-279) — the
+        null forward's result is discarded for scores, in training and
+        eval alike.
+      * TokenCritic.forward_with_cond_scale does mix its scalar logits,
+        but the null forward's cond-drop is training-gated (:353-355)
+        and generate() runs in eval — the mix cancels to the cond
+        logits exactly.
+    So the default runs ONE cond forward at 1x batch. real_cfg=True
+    additionally CFG-mixes the TokenCritic scores with a real null pass
+    (SelfCritic scores stay cond-only even upstream of the gate)."""
+    if model.muse.token_critic and real_cfg:
+        b = ids.shape[0]
+        keep = jnp.concatenate([jnp.ones((b,), bool),
+                                jnp.zeros((b,), bool)])
+        scores = model.apply(
+            params, _cfg_batch(ids), _cfg_batch(cond_ids), _cfg_batch(ii),
+            _cfg_batch(ei), cond_keep=keep, method=MaskGit.critic_logits)
+        scores = scores.astype(jnp.float32)
+        cond, null = scores[:b], scores[b:]
+        return null + (cond - null) * cond_scale
+    scores = model.apply(params, ids, cond_ids, ii, ei,
+                         method=MaskGit.critic_logits)
+    return scores.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +257,8 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
 
         logits, embed = cfg_logits(model, params, ids, cond_ids,
                                    intrinsics_inv, extrinsics_inv,
-                                   muse.cond_scale, self_cond_embed=sc)
+                                   muse.cond_scale, self_cond_embed=sc,
+                                   real_cfg=muse.real_cfg)
         if cfg.self_cond:
             sc = embed.astype(jnp.float32)
         filtered = top_k_filter(logits, muse.topk_filter_thres)
@@ -225,7 +269,8 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
 
         if use_critic:
             scores = cfg_critic(model, params, ids, cond_ids, intrinsics_inv,
-                                extrinsics_inv, muse.cond_scale)
+                                extrinsics_inv, muse.cond_scale,
+                                real_cfg=muse.real_cfg)
             u = jax.random.uniform(rng_n, scores.shape, jnp.float32)
             scores = scores + (u - 0.5) * step["noise"]
         else:

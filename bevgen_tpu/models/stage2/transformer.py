@@ -8,10 +8,12 @@ Functional re-design of the reference `TransformerMultiView`
     to the BEV condition tokens, GEGLU feed-forward;
   * geometric embeddings: per-token camera-ray embedding (intrinsics/
     extrinsics), BEV metric-grid embedding on condition tokens;
-  * classifier-free guidance via a per-sample `cond_keep` flag that
-    drops the BEV context down to the learned null key/value — so the
-    CFG cond/null pair batches into ONE forward at 2x batch instead of
-    the reference's two sequential forwards.
+  * per-sample `cond_keep` flag that drops the BEV context down to the
+    learned null key/value — the real-CFG path (MuseConfig.real_cfg)
+    batches the cond/null pair into ONE forward at 2x batch instead of
+    two sequential forwards. (The reference's own inference CFG is a
+    training-gated no-op — see models/stage2/maskgit.cfg_logits — so
+    the faithful serving default never takes this path.)
 
 Numerics notes (checkpoint fidelity):
   * attention: q,k are l2-normalized then scaled by learned per-dim

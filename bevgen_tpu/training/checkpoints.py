@@ -79,11 +79,25 @@ class CheckpointManager:
         return ckpt_io.restore_checkpoint(path, example)
 
 
+def _tree_has_key(tree: Any, key: str) -> bool:
+    if isinstance(tree, dict):
+        return key in tree or any(_tree_has_key(v, key)
+                                  for v in tree.values())
+    return False
+
+
 def load_weights(path: str, example_params: Any) -> Any:
     """Weights-only load (+model.ckpt_path level): orbax dir or torch
-    .ckpt via the converter (utils/general.py:119)."""
+    .ckpt via the converter (utils/general.py:119).
+
+    Whether the converter keeps the checkpoint's unconditional
+    `self_cond_to_init_embed.*` keys (muse_maskgit_pytorch.py:241) is
+    inferred from `example_params`: if the target model was built with
+    cfg.self_cond its init tree contains that module, and dropping the
+    keys would leave the returned tree missing params."""
     p = Path(path)
     if p.suffix in (".ckpt", ".pt", ".pth"):
         state = ckpt_io.load_torch_checkpoint(str(p))
-        return ckpt_io.convert_net2net(state)
+        self_cond = _tree_has_key(example_params, "self_cond_to_init_embed")
+        return ckpt_io.convert_net2net(state, self_cond=self_cond)
     return ckpt_io.restore_checkpoint(str(p), example_params)

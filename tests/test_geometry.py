@@ -112,10 +112,11 @@ def test_canonical_rig_invertible_and_forward():
     cfg = cfg_argo()
     intr, extr = geometry.canonical_camera_rig(cfg)
     assert intr.shape == (3, 3, 3) and extr.shape == (3, 4, 4)
-    E_inv = np.linalg.inv(extr)
+    # stored convention is ego_SE3_cam (cam->ego), matching the
+    # reference batch dict / cam_data artifact (argoverse.py:288,355):
     # ring_front_center optical axis (cam +z) maps to ego +x (forward)
     center = list(cfg.camera_names).index("ring_front_center")
-    fwd_ego = E_inv[center, :3, :3] @ np.array([0, 0, 1.0])
+    fwd_ego = extr[center, :3, :3] @ np.array([0, 0, 1.0])
     np.testing.assert_allclose(fwd_ego, [1, 0, 0], atol=1e-9)
 
 
@@ -124,8 +125,13 @@ def test_image_direction_vectors():
     v = geometry.image_direction_vectors(cfg)
     assert v.shape == (cfg.num_img_tokens, 3)
     np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
-    # tokens of the center camera point mostly forward (+x in ego frame)
+    # the reference multiplies CAMERA-frame points by inv(ego_SE3_cam)
+    # (mask_generator.py:97-103), so the vectors live in the quirk frame
+    # v = R^T p: mapping them back through R recovers the camera-frame
+    # rays, which for every camera point mostly along the optical axis +z
     _, s2p = geometry.seq_pixel_mappings(cfg)
-    center = list(cfg.camera_names).index("ring_front_center")
-    sel = s2p[:, 0] == center
-    assert v[sel, 0].mean() > 0.5
+    _, extr = geometry.canonical_camera_rig(cfg)
+    for ci in range(cfg.num_cams):
+        sel = s2p[:, 0] == ci
+        p = v[sel] @ extr[ci, :3, :3].T  # R @ v = camera-frame ray
+        assert p[:, 2].mean() > 0.5, f"camera {ci}"

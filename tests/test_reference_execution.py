@@ -329,6 +329,140 @@ def test_ref_token_critic_matches():
         jnp.asarray(ii), jnp.asarray(ei), method=MaskGit.critic_logits))
     np.testing.assert_allclose(ours, ref_scores, atol=2e-4)
 
+    # the decode loop calls TokenCritic.forward_with_cond_scale
+    # (muse_maskgit_pytorch.py:602-607) — in EVAL mode its null
+    # forward's cond-drop is training-gated (:353-355) so the CFG mix
+    # cancels to the cond logits; cfg_critic's faithful default (one
+    # cond-only forward) must match the executed eval-mode reference
+    from bevgen_tpu.models.stage2 import maskgit as mg
+    with torch.no_grad():
+        ref_cfg = ref_mg.token_critic.forward_with_cond_scale(
+            torch.tensor(ids.reshape(b * cam, hw)),
+            conditioning_token_ids=torch.tensor(cond),
+            cond_scale=3.0,
+            batch={"intrinsics_inv": torch.tensor(ii),
+                   "extrinsics_inv": torch.tensor(ei)})
+    ref_cfg = ref_cfg.numpy()[..., 0].reshape(b, cam, hw)
+    ours_cfg = np.asarray(mg.cfg_critic(
+        model, params, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(cond, jnp.int32), jnp.asarray(ii), jnp.asarray(ei),
+        cond_scale=3.0))
+    np.testing.assert_allclose(ours_cfg, ref_cfg, atol=2e-4)
+
+
+def test_ref_self_critic_cfg_scores_match():
+    """Decode-loop SelfCritic scores: SelfCritic.forward_with_cond_scale
+    (muse_maskgit_pytorch.py:393-395) returns to_pred of the COND pass's
+    embeddings — forward_with_cond_scale's return_embed path (:272-279)
+    hands back the un-mixed cond embed, so the scores see NO CFG mixing
+    and the null forward's result is discarded. cfg_critic must
+    reproduce exactly that (it skips the discarded null forward)."""
+    from bevgen_tpu.core.config import MuseConfig
+    from bevgen_tpu.models.stage2 import maskgit as mg
+    from bevgen_tpu.models.stage2.maskgit import MaskGit
+
+    cfg = cfg_argoverse_dense()
+    torch.manual_seed(23)
+    np.random.seed(23)
+    muse = rh.import_ref(
+        "multi_view_generation.modules.stage2.muse_maskgit_pytorch")
+    rcfg = rh.ref_gpt_config(cfg)
+    ref_tf = muse.MaskGitTransformerMultiView(
+        num_tokens=cfg.vocab_size, seq_len=tuple(cfg.cam_latent_res),
+        dim=cfg.num_embed, depth=cfg.num_layers, dim_head=cfg.dim_head,
+        heads=cfg.num_heads, ff_mult=cfg.ff_mult, cfg=rcfg)
+    ref_mg = muse.MaskGit(
+        image_size=tuple(cfg.cam_latent_res), transformer=ref_tf,
+        self_token_critic=True).eval()
+
+    state = {f"maskgit.{k}": v.numpy()
+             for k, v in ref_mg.state_dict().items()}
+    converted = ckpt.convert_net2net(state)
+
+    model = MaskGit(cfg, MuseConfig(self_token_critic=True))
+    b, cam, hw = 2, cfg.num_cams, cfg.num_cam_tokens
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, cfg.vocab_size, (b, cam, hw))
+    cond = rng.integers(0, cfg.cond_vocab_size, (b, cfg.num_cond_tokens))
+    intr, extr = geometry.canonical_camera_rig(cfg)
+    ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                         (b, cam, 3, 3)).astype(np.float32)
+    ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                         (b, cam, 4, 4)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(ids, jnp.int32),
+                      jnp.asarray(cond, jnp.int32), jnp.asarray(ii),
+                      jnp.asarray(ei), method=MaskGit.init_all)
+    params = {"params": converted["maskgit"]["params"]}
+    missing, unexpected = ckpt.verify_tree_match(params["params"],
+                                                 init["params"])
+    assert not missing and not unexpected, (missing, unexpected)
+
+    with torch.no_grad():
+        ref_scores = ref_mg.token_critic.forward_with_cond_scale(
+            torch.tensor(ids.reshape(b * cam, hw)),
+            conditioning_token_ids=torch.tensor(cond),
+            cond_scale=3.0,
+            batch={"intrinsics_inv": torch.tensor(ii),
+                   "extrinsics_inv": torch.tensor(ei)})
+    ref_scores = ref_scores.numpy()[..., 0].reshape(b, cam, hw)
+
+    ours = np.asarray(mg.cfg_critic(
+        model, params, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(cond, jnp.int32), jnp.asarray(ii), jnp.asarray(ei),
+        cond_scale=3.0))
+    np.testing.assert_allclose(ours, ref_scores, atol=2e-4)
+
+
+def test_ref_null_forward_matches_train_mode_drop():
+    """The real_cfg=True null pass (cond_keep all-False) must equal the
+    reference's TRAINING-time cond-drop forward — the only mode where
+    its drop actually executes (muse_maskgit_pytorch.py:353-355;
+    cond_drop_prob=1 makes prob_mask_like deterministic, and the MUSE
+    transformer has no dropout so train() stays deterministic)."""
+    from bevgen_tpu.models.stage2.transformer import MultiViewTransformer
+
+    cfg = cfg_argoverse_dense()
+    torch.manual_seed(11)
+    np.random.seed(11)
+    muse = rh.import_ref(
+        "multi_view_generation.modules.stage2.muse_maskgit_pytorch")
+    rcfg = rh.ref_gpt_config(cfg)
+    ref_tf = muse.MaskGitTransformerMultiView(
+        num_tokens=cfg.vocab_size, seq_len=tuple(cfg.cam_latent_res),
+        dim=cfg.num_embed, depth=cfg.num_layers, dim_head=cfg.dim_head,
+        heads=cfg.num_heads, ff_mult=cfg.ff_mult, cfg=rcfg).train()
+
+    b, cam, hw = 2, cfg.num_cams, cfg.num_cam_tokens
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, cfg.vocab_size, (b, cam, hw))
+    cond = rng.integers(0, cfg.cond_vocab_size, (b, cfg.num_cond_tokens))
+    intr, extr = geometry.canonical_camera_rig(cfg)
+    ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                         (b, cam, 3, 3)).astype(np.float32)
+    ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                         (b, cam, 4, 4)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_null = ref_tf(
+            torch.tensor(ids.reshape(b * cam, hw)),
+            conditioning_token_ids=torch.tensor(cond),
+            batch={"intrinsics_inv": torch.tensor(ii),
+                   "extrinsics_inv": torch.tensor(ei)},
+            cond_drop_prob=1.0)
+    ref_null = ref_null.numpy().reshape(b, cam, hw, cfg.vocab_size)
+
+    state = {k: v.numpy() for k, v in ref_tf.state_dict().items()}
+    params = {"params": ckpt.convert_muse_transformer(state)}
+    model = MultiViewTransformer(cfg)
+    ours = np.asarray(model.apply(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(cond, jnp.int32),
+        jnp.asarray(ii), jnp.asarray(ei),
+        cond_keep=jnp.zeros((b,), bool)).logits)
+    np.testing.assert_allclose(
+        ours, ref_null, atol=2e-4,
+        err_msg="our dropped-cond (null) forward diverges from the "
+                "executed reference's training-mode cond_drop_prob=1")
+
 
 # ---------------------------------------------------------------------------
 # full AR GPT forward, reference-executed with an emulated DeepSpeed kernel
