@@ -8,8 +8,9 @@ TPU-native re-design of the reference `MaskGit`
     forwards (demask + critic): the reference's classifier-free
     guidance is training-gated and therefore a NO-OP in its eval-mode
     generate, and its SelfCritic discards the null pass — see
-    cfg_logits/cfg_critic. The reference spends 4 sequential
-    python-loop forwards per step computing the same numbers.
+    cfg_logits/cfg_critic. The final step's critic forward is also
+    peeled off (its scores feed nothing). The reference spends 4
+    sequential python-loop forwards per step computing the same numbers.
     MuseConfig.real_cfg=True opts into ACTUAL guidance (cond+null
     batched at 2x batch, mixed by cond_scale).
   * the dynamic "mask the k lowest-scored tokens" (k varies per step)
@@ -246,7 +247,7 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
               noise=jnp.asarray(noise, jnp.float32),
               rngs=jax.random.split(rng, T))
 
-    def body(carry, step):
+    def body(carry, step, last=False):
         ids, scores, sc = carry
         rng_s, rng_g, rng_n = jax.random.split(step["rngs"], 3)
 
@@ -267,6 +268,12 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
         is_mask = ids == mask_id
         ids = jnp.where(is_mask, pred, ids)
 
+        if last:
+            # the final step's scores feed nothing (they only select the
+            # NEXT step's re-masking) — skip the dead critic forward.
+            # Output-identical to the reference, which uniformly runs it
+            # (muse_maskgit_pytorch.py:601-611) and discards the result.
+            return (ids, scores, sc), None
         if use_critic:
             scores = cfg_critic(model, params, ids, cond_ids, intrinsics_inv,
                                 extrinsics_inv, muse.cond_scale,
@@ -280,7 +287,11 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
             scores = jnp.where(is_mask, scores, -1e5)
         return (ids, scores, sc), None
 
-    (ids, _, _), _ = jax.lax.scan(body, (ids, scores, sc_embed), xs)
+    # scan the first T-1 steps; peel the last (no score computation)
+    head = jax.tree_util.tree_map(lambda x: x[:-1], xs)
+    tail = jax.tree_util.tree_map(lambda x: x[-1], xs)
+    carry, _ = jax.lax.scan(body, (ids, scores, sc_embed), head)
+    (ids, _, _), _ = body(carry, tail, last=True)
     h, w = cfg.cam_latent_res
     return ids.reshape(b, cam, h, w)
 

@@ -112,14 +112,22 @@ def print_config_tree(cfg: PipelineConfig, extra: Dict[str, object] = None,
 
 
 def setup_platform(args: Dict[str, str]):
-    """Honor platform=cpu / devices=N before jax backend init."""
+    """Honor platform=cpu / devices=N (or the JAX_PLATFORMS env var)
+    before jax backend init.
+
+    The env var alone is not enough on hosts with an out-of-tree TPU
+    plugin that registers regardless of JAX_PLATFORMS — mirror whatever
+    platform the user asked for into jax.config, which IS authoritative,
+    so `JAX_PLATFORMS=cpu python -m bevgen_tpu.scripts.generate ...`
+    doesn't silently run on the TPU."""
     import os
-    if "platform" in args:
-        os.environ["JAX_PLATFORMS"] = args.pop("platform")
-        if os.environ["JAX_PLATFORMS"] == "cpu" and "devices" in args:
+    plat = args.pop("platform", None) or os.environ.get("JAX_PLATFORMS")
+    if plat:
+        os.environ["JAX_PLATFORMS"] = plat
+        if plat == "cpu" and "devices" in args:
             n = args.pop("devices")
             os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                        f" --xla_force_host_platform_device_count={n}")
         import jax
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", plat)
     return args

@@ -107,6 +107,24 @@ def test_maskgit_generate_shapes_and_determinism():
     assert (np.asarray(out3) != arr).any()
 
 
+def test_maskgit_generate_single_step():
+    """timesteps=1 exercises the peeled-last-step path with a
+    zero-length scan (the critic forward is skipped entirely — its
+    scores would feed a step that never runs)."""
+    cfg = tiny_cfg()
+    model = mg.MaskGit(cfg, MuseConfig())
+    ids, cond, ii, ei = make_inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids, cond, ii, ei,
+                        method=mg.MaskGit.init_all)
+    out = mg.generate(model, params, cond, ii, ei, jax.random.PRNGKey(1),
+                      timesteps=1)
+    arr = np.asarray(out)
+    assert (arr >= 0).all() and (arr < cfg.vocab_size).all()
+    # one step at temperature 0 fills every position from the single
+    # demask forward — nothing stays masked
+    assert (arr != cfg.mask_token_id).all()
+
+
 def test_maskgit_partial_decode_keeps_init():
     cfg = tiny_cfg()
     muse = MuseConfig(sample_iterations=2)
