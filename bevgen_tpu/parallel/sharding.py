@@ -31,14 +31,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(dp: Optional[int] = None, tp: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (dp, tp) mesh over the available devices."""
+    """Build a (dp, tp) mesh over the available devices.
+
+    With `dp` given explicitly the mesh uses the FIRST dp*tp devices
+    (running a 1x1 job on an 8-device host is legitimate); with dp=None
+    it spans every device (dp = n // tp)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
         assert n % tp == 0, (n, tp)
         dp = n // tp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tp)
+    assert dp * tp <= n, f"mesh {dp}x{tp} > {n} devices"
+    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
 

