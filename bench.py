@@ -103,7 +103,8 @@ def main():
     cfg = argoverse_muse_7cam_config()
     pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
     params = pipe.init_params(jax.random.PRNGKey(0))
-    if os.environ.get("BENCH_QUANT", "0") == "1":
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    if quant:
         # int8 W8A8 decode transformer (ops/quant.py) — serving option
         pipe, params = pipe.quantized(params)
     # serve without the critic pass (reference force_not_use_token_critic,
@@ -117,7 +118,7 @@ def main():
             measure(pipe, params, cfg, serving_batch, reps, no_critic), 3)
 
     mode = ("confidence re-mask" if no_critic else "self-critic")
-    dtype_s = "int8" if os.environ.get("BENCH_QUANT", "0") == "1" else "bf16"
+    dtype_s = "int8" if quant else "bf16"
     print(json.dumps({
         "metric": "multi-cam images/sec/chip (7-camera 256px scene "
                   f"generation, batch {headline_batch}, 18-step MaskGit + "

@@ -104,7 +104,9 @@ def convert_stage1(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
                 _set(out, [parts[0], "bias"], val)
             continue
         if parts[0] in ("img_embed", "cam_embed"):
-            _set(out, [parts[0], "kernel"], t_conv1x1_to_dense(val))
+            # stage-1 geometric embeds are 1x1 convs in our VQModel
+            # (models/stage1/vq.py:53-56), unlike the stage-2 Dense ones
+            _set(out, [parts[0], "kernel"], np.transpose(val, (2, 3, 1, 0)))
             continue
         if parts[0] in ("encoder", "decoder"):
             sub = ".".join(parts[1:-1])
@@ -309,6 +311,7 @@ def convert_net2net(state: Dict[str, np.ndarray],
     state = {re.sub(r"^_forward_module\.", "", k): v for k, v in state.items()}
     groups: Dict[str, Dict[str, np.ndarray]] = {
         "first": {}, "cond": {}, "tf": {}, "critic": {}, "critic_tf": {}}
+    unexpected = []
     for k, v in state.items():
         if k.startswith("first_stage_model."):
             groups["first"][k[len("first_stage_model."):]] = v
@@ -323,6 +326,13 @@ def convert_net2net(state: Dict[str, np.ndarray],
         elif k.startswith("maskgit.token_critic."):
             # a full separate TokenCritic transformer
             groups["critic_tf"][k[len("maskgit.token_critic."):]] = v
+        elif k.startswith("maskgit."):
+            pass  # buffers (mask schedules etc.) rebuilt from config
+        else:
+            unexpected.append(k)
+    if unexpected:
+        print(f"[convert_net2net] skipped {len(unexpected)} unexpected "
+              f"keys: {unexpected[:8]}")
     maskgit_params: Dict[str, Any] = {
         "transformer": convert_muse_transformer(groups["tf"],
                                                 self_cond=self_cond)}
@@ -340,6 +350,80 @@ def convert_net2net(state: Dict[str, np.ndarray],
         "first_stage": {"params": convert_stage1(groups["first"])},
         "cond_stage": {"params": convert_stage1(groups["cond"])},
         "maskgit": {"params": maskgit_params},
+    }
+
+
+def convert_discriminator(state: Dict[str, np.ndarray],
+                          n_layers: int = 3) -> Dict[str, Any]:
+    """torch NLayerDiscriminator state_dict (discriminator/model.py:17,
+    a flat nn.Sequential at `main.`) -> our flax tree
+    (models/discriminator.py). Sequential indices: conv_0 at 0, then
+    per layer n>=1 conv at 3n-1 and norm at 3n, output conv at
+    3*(n_layers+1)-1. BatchNorm running stats are skipped (the GAN loss
+    runs the torch disc in train mode = batch statistics, which is what
+    our BatchNorm computes)."""
+    out: Dict[str, Any] = {}
+    idx_to_name = {0: "conv_0"}
+    for n in range(1, n_layers + 2):
+        idx_to_name[3 * n - 1] = (f"conv_{n}" if n <= n_layers
+                                  else "conv_out")
+        if n <= n_layers:
+            idx_to_name[3 * n] = f"norm_{n}"
+    unexpected = []
+    for key, val in state.items():
+        val = np.asarray(val, dtype=np.float32)
+        parts = key.split(".")
+        if parts[0] != "main" or int(parts[1]) not in idx_to_name:
+            unexpected.append(key)
+            continue
+        name, pname = idx_to_name[int(parts[1])], parts[-1]
+        if name.startswith("conv"):
+            if pname == "weight":
+                _set(out, [name, "kernel"], t_conv(val))
+            else:
+                _set(out, [name, "bias"], val)
+        elif pname in ("weight", "scale"):       # BatchNorm w / ActNorm scale
+            _set(out, [name, "scale"], val.reshape(-1))
+        elif pname in ("bias",):                 # BatchNorm bias
+            _set(out, [name, "bias"], val.reshape(-1))
+        elif pname == "loc":                     # ActNorm loc
+            _set(out, [name, "loc"], val.reshape(-1))
+        elif pname in ("running_mean", "running_var", "num_batches_tracked",
+                       "initialized"):
+            continue
+        else:
+            unexpected.append(key)
+    if unexpected:
+        print(f"[convert_discriminator] skipped {len(unexpected)} "
+              f"unexpected keys: {unexpected[:8]}")
+    return out
+
+
+def convert_ar_net2net(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference AR Net2NetTransformer checkpoint
+    (cond_transformer_multi_view.py:30 — the sparse GPT lives at
+    `self.transformer`, NOT under `maskgit.`) -> ARPipeline params:
+    {'first_stage': ..., 'cond_stage': ..., 'gpt': ...}."""
+    state = {re.sub(r"^_forward_module\.", "", k): v for k, v in state.items()}
+    groups: Dict[str, Dict[str, np.ndarray]] = {
+        "first": {}, "cond": {}, "gpt": {}}
+    unexpected = []
+    for k, v in state.items():
+        if k.startswith("first_stage_model."):
+            groups["first"][k[len("first_stage_model."):]] = v
+        elif k.startswith("cond_stage_model."):
+            groups["cond"][k[len("cond_stage_model."):]] = v
+        elif k.startswith("transformer."):
+            groups["gpt"][k[len("transformer."):]] = v
+        else:
+            unexpected.append(k)
+    if unexpected:
+        print(f"[convert_ar_net2net] skipped {len(unexpected)} unexpected "
+              f"keys: {unexpected[:8]}")
+    return {
+        "first_stage": {"params": convert_stage1(groups["first"])},
+        "cond_stage": {"params": convert_stage1(groups["cond"])},
+        "gpt": {"params": convert_gpt(groups["gpt"])},
     }
 
 

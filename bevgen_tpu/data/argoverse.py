@@ -254,9 +254,12 @@ class ArgoverseDataset:
                     img = img[(img.shape[0] - img.shape[1]):]
                 else:
                     img = cg.square_crop(img, cam)
-            img01 = img.astype(np.float32) / 255.0
             if self.augment_cam:
-                img01 = cg.apply_color_jitter(img01, color)
+                # jitter runs in float here (the reference jitters the
+                # uint8 PIL image; training-time randomness, not a
+                # parity surface)
+                img01 = cg.apply_color_jitter(
+                    img.astype(np.float32) / 255.0, color)
                 # crop position/scale is drawn PER CAMERA
                 # (argoverse.py:207-213, scale_max 0.1) and folded into K
                 top, left, nh, nw = cg.random_crop_params(
@@ -264,10 +267,16 @@ class ArgoverseDataset:
                 img01 = img01[top:top + nh, left:left + nw]
                 adjust.set_scale(self.cam_res[1] / nw, self.cam_res[0] / nh)
                 adjust.set_crop(top, left)
+                img01 = np.clip(cg.resize_bicubic(img01, self.cam_res),
+                                0.0, 1.0)
             else:
-                adjust.set_scale(self.cam_res[1] / img01.shape[1],
-                                 self.cam_res[0] / img01.shape[0])
-            img01 = np.clip(cg.resize_bicubic(img01, self.cam_res), 0.0, 1.0)
+                # eval/parity path: PIL uint8 resize BEFORE /255, exactly
+                # like the reference's PIL resize -> to_tensor
+                # (argoverse.py:214-216)
+                adjust.set_scale(self.cam_res[1] / img.shape[1],
+                                 self.cam_res[0] / img.shape[0])
+                img01 = cg.resize_bicubic_uint8(
+                    img, self.cam_res).astype(np.float32) / 255.0
             imgs.append(cg.normalize_image(img01) if self.normalize else img01)
             Ks.append(adjust.apply(calib[cam]["K"]))
             Es.append(calib[cam]["ego_SE3_cam"].astype(np.float32))
@@ -313,17 +322,18 @@ class ArgoverseDataset:
                          "cameras" / cam / f"{ts}.jpg")
         if cam == "ring_front_center":
             img = img.transpose(1, 0, 2)   # portrait -> landscape (:315)
-        img01 = img.astype(np.float32) / 255.0
         if self.augment_cam:
             # crop augmentation, scale_max 0.25 (:208), + random hflip
-            # (:151 RandomHorizontalFlip)
+            # (:151 RandomHorizontalFlip) — both exact on uint8
             top, left, nh, nw = cg.random_crop_params(
-                rng, img01.shape[0], img01.shape[1], 0.25)
-            img01 = img01[top:top + nh, left:left + nw]
+                rng, img.shape[0], img.shape[1], 0.25)
+            img = img[top:top + nh, left:left + nw]
             if rng.uniform() < 0.5:
-                img01 = img01[:, ::-1]
-        img01 = np.clip(cg.resize_bicubic(np.ascontiguousarray(img01),
-                                          self.cam_res), 0.0, 1.0)
+                img = img[:, ::-1]
+        # PIL uint8 resize then /255, matching the reference's PIL
+        # resize -> to_tensor order (argoverse.py:214-216)
+        img01 = cg.resize_bicubic_uint8(
+            img, self.cam_res).astype(np.float32) / 255.0
         img01 = cg.normalize_image(img01) if self.normalize else img01
         return {
             "image": img01[None],

@@ -205,6 +205,18 @@ def resize_bicubic(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
                       interpolation=cv2.INTER_CUBIC)
 
 
+def resize_bicubic_uint8(img: np.ndarray,
+                         out_hw: Tuple[int, int]) -> np.ndarray:
+    """PIL-exact uint8 bicubic resize: the reference resizes the uint8
+    PIL image BEFORE to_tensor (argoverse.py:214-216), so eval/parity
+    loads must reproduce PIL's bicubic kernel and its per-pixel uint8
+    rounding — cv2's INTER_CUBIC uses a different spline coefficient
+    and float resizing skips the rounding step entirely."""
+    from PIL import Image
+    pil = Image.fromarray(np.ascontiguousarray(img))
+    return np.asarray(pil.resize((out_hw[1], out_hw[0]), Image.BICUBIC))
+
+
 def normalize_image(img01: np.ndarray) -> np.ndarray:
     """[0,1] float image -> normalized (argoverse.py:158-161)."""
     return ((img01 - ARGOVERSE_MEAN) / ARGOVERSE_STD).astype(np.float32)

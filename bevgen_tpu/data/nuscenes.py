@@ -187,7 +187,9 @@ class NuScenesDataset:
             adjust = cg.CamIntrinsicAdjust(rescale_first=False)
             adjust.set_scale(self.cam_res[1] / img.shape[1],
                              self.cam_res[0] / img.shape[0])
-            img = cg.resize_bicubic(img, self.cam_res)
+            # PIL uint8 resize before /255 (reference resize->to_tensor
+            # order; see camera_geometry.resize_bicubic_uint8)
+            img = cg.resize_bicubic_uint8(img, self.cam_res)
             img01 = img.astype(np.float32) / 255.0
             imgs.append(cg.normalize_image(img01) if self.normalize
                         else img01)

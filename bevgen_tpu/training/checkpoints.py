@@ -8,6 +8,7 @@ checkpoints (ema.py:94-146) and the three-level load order
 """
 from __future__ import annotations
 
+import re
 import time
 from pathlib import Path
 from typing import Any, Optional
@@ -80,7 +81,8 @@ class CheckpointManager:
 
 
 def _tree_has_key(tree: Any, key: str) -> bool:
-    if isinstance(tree, dict):
+    from collections.abc import Mapping
+    if isinstance(tree, Mapping):
         return key in tree or any(_tree_has_key(v, key)
                                   for v in tree.values())
     return False
@@ -90,6 +92,12 @@ def load_weights(path: str, example_params: Any) -> Any:
     """Weights-only load (+model.ckpt_path level): orbax dir or torch
     .ckpt via the converter (utils/general.py:119).
 
+    Torch checkpoints are routed by key prefix to the right converter:
+    `maskgit.*` -> MUSE Net2Net (cond_transformer_multi_view_muse.py),
+    top-level `transformer.*` -> AR Net2Net with the sparse GPT
+    (cond_transformer_multi_view.py:30), bare `encoder./decoder.` ->
+    a single stage-1 VQ model.
+
     Whether the converter keeps the checkpoint's unconditional
     `self_cond_to_init_embed.*` keys (muse_maskgit_pytorch.py:241) is
     inferred from `example_params`: if the target model was built with
@@ -98,6 +106,21 @@ def load_weights(path: str, example_params: Any) -> Any:
     p = Path(path)
     if p.suffix in (".ckpt", ".pt", ".pth"):
         state = ckpt_io.load_torch_checkpoint(str(p))
-        self_cond = _tree_has_key(example_params, "self_cond_to_init_embed")
-        return ckpt_io.convert_net2net(state, self_cond=self_cond)
+        keys = [re.sub(r"^_forward_module\.", "", k) for k in state]
+        if any(k.startswith("maskgit.") for k in keys):
+            self_cond = _tree_has_key(example_params,
+                                      "self_cond_to_init_embed")
+            return ckpt_io.convert_net2net(state, self_cond=self_cond)
+        if any(k.startswith("transformer.") for k in keys):
+            return ckpt_io.convert_ar_net2net(state)
+        if any(k.startswith(("encoder.", "decoder.", "quantize."))
+               for k in keys):
+            # convert_stage1 doesn't strip the DeepSpeed wrapper prefix
+            # itself (the net2net converters do it at the group level)
+            stripped = {re.sub(r"^_forward_module\.", "", k): v
+                        for k, v in state.items()}
+            return {"params": ckpt_io.convert_stage1(stripped)}
+        raise ValueError(
+            f"unrecognized torch checkpoint family in {path}: "
+            f"sample keys {keys[:5]}")
     return ckpt_io.restore_checkpoint(str(p), example_params)

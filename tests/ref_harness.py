@@ -141,6 +141,65 @@ def install_stubs() -> None:
         _module("wandb")
 
 
+def install_stage1_stubs() -> None:
+    """Extra stubs needed to import the reference's stage-1 Lightning
+    module file (modules/stage1/vqgan.py), which pulls in
+    `multi_view_generation.utils` -> rich_utils/pylogger/callback ->
+    pytorch_lightning/hydra/omegaconf at import time."""
+    import torch.nn as nn
+
+    if _missing("pytorch_lightning"):
+        trainer_cls = type("Trainer", (), {})
+        pl = _module("pytorch_lightning",
+                     LightningModule=nn.Module,
+                     LightningDataModule=object,
+                     Callback=object, Trainer=trainer_cls)
+        pl.trainer = _module("pytorch_lightning.trainer",
+                             Trainer=trainer_cls)
+        rz = lambda f: f  # noqa: E731
+        util = _module("pytorch_lightning.utilities", rank_zero_only=rz)
+        _module("pytorch_lightning.utilities.rank_zero", rank_zero_only=rz)
+        pl.utilities = util
+        pl.loggers = _module("pytorch_lightning.loggers",
+                             WandbLogger=type("WandbLogger", (), {}))
+        _module("pytorch_lightning.loggers.logger",
+                Logger=type("Logger", (), {}))
+        pl.callbacks = _module(
+            "pytorch_lightning.callbacks", Callback=object,
+            ModelCheckpoint=type("ModelCheckpoint", (), {}),
+            LearningRateMonitor=type("LearningRateMonitor", (), {}),
+            RichProgressBar=type("RichProgressBar", (), {}),
+            RichModelSummary=type("RichModelSummary", (), {}))
+
+    if _missing("hydra"):
+        hydra = _module("hydra")
+        hydra.utils = _module("hydra.utils",
+                              instantiate=lambda *a, **k: None)
+        hydra.core = _module("hydra.core")
+        _module("hydra.core.hydra_config",
+                HydraConfig=type("HydraConfig", (), {}))
+
+    if _missing("omegaconf"):
+        _module("omegaconf", OmegaConf=type("OmegaConf", (), {}),
+                DictConfig=dict, ListConfig=list, open_dict=None)
+
+
+def import_ref_stage1():
+    """Import the reference stage-1 models (vqgan.py), executing the
+    real Encoder/Decoder/VectorQuantizer2/VQModel code.
+
+    `multi_view_generation.utils` must be imported FIRST: the
+    reference has a utils <-> utils.callback <-> stage1.vqgan import
+    cycle that its own entry points resolve by importing utils before
+    any model module (generate.py:10-14); importing vqgan.py directly
+    would hit the partially-initialized-module error."""
+    install_stubs()
+    install_stage1_stubs()
+    importlib.import_module("multi_view_generation.utils")
+    return importlib.import_module(
+        "multi_view_generation.modules.stage1.vqgan")
+
+
 def import_ref(module: str):
     """Import a reference module (e.g.
     'multi_view_generation.modules.transformer.permuter')."""

@@ -196,3 +196,46 @@ def test_train_stage1_on_synthetic_tree(av2_tree, monkeypatch, capsys):
     lines = [json.loads(l) for l in out.splitlines()
              if l.startswith("{") and "step" in l]
     assert lines and np.isfinite(lines[-1]["loss"])
+
+
+def test_eval_resize_matches_reference_pil_numerics():
+    """The non-augmented (eval/parity) image path must reproduce the
+    reference's exact numerics: PIL uint8 bicubic resize BEFORE
+    to_tensor + Normalize (argoverse.py:214-216). cv2's INTER_CUBIC
+    uses a different spline and float resizing skips uint8 rounding."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+
+    # reference sequence (process_img, non-augmented): PIL uint8 bicubic
+    # resize, then to_tensor (/255 in float32), then Normalize
+    # (torchvision itself is not in-image; to_tensor/normalize are these
+    # two float32 ops exactly)
+    pil = Image.fromarray(img).resize((32, 32), resample=Image.BICUBIC)
+    t = np.asarray(pil).astype(np.float32) / 255.0
+    mean = np.asarray(cg.ARGOVERSE_MEAN, np.float32)
+    std = np.asarray(cg.ARGOVERSE_STD, np.float32)
+    ref = (t - mean) / std
+
+    ours = cg.normalize_image(
+        cg.resize_bicubic_uint8(img, (32, 32)).astype(np.float32) / 255.0)
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_dataset_eval_path_uses_pil_resize(av2_tree, monkeypatch):
+    """End-to-end: a non-augmented dataset load equals the manual
+    PIL-resize computation for a side camera (square crop + resize)."""
+    from bevgen_tpu.data.argoverse import load_image
+
+    ds = ArgoverseDataset(split="val", dataset_dir=str(av2_tree),
+                          cam_res=(32, 32))
+    b = ds[0]
+    row = ds.table.iloc[0]
+    cam = "ring_front_left"
+    raw = load_image(av2_tree / "sensor" / "val" / row.log_id / "sensors" /
+                     "cameras" / cam / f"{int(row[cam])}.jpg")
+    expect = cg.normalize_image(
+        cg.resize_bicubic_uint8(cg.square_crop(raw, cam),
+                                (32, 32)).astype(np.float32) / 255.0)
+    np.testing.assert_allclose(b["image"][0], expect, atol=1e-6)

@@ -202,3 +202,53 @@ def test_orbax_save_restore(tmp_path, pipe_params):
     ckpt.save_checkpoint(path, tree)
     back = ckpt.restore_checkpoint(path)
     _tree_allclose(back, tree)
+
+
+# ---------------------------------------------------------------------------
+# load_weights routing (training/checkpoints.py): a torch checkpoint
+# must reach the converter for its family — the AR Net2Net layout
+# stores the GPT at top-level `transformer.` (reference
+# cond_transformer_multi_view.py:30), NOT under `maskgit.`
+# ---------------------------------------------------------------------------
+
+def test_load_weights_routes_by_checkpoint_family(tmp_path, monkeypatch):
+    torch = pytest.importorskip("torch")
+    from bevgen_tpu.training.checkpoints import load_weights
+
+    def save(name, keys):
+        p = tmp_path / name
+        torch.save({"state_dict": {k: torch.zeros(2, 2) for k in keys}},
+                   str(p))
+        return str(p)
+
+    ar = save("ar.ckpt", ["transformer.x_pos_emb",
+                          "_forward_module.transformer.cond_pos_emb"])
+    out = load_weights(ar, example_params={})
+    assert set(out) == {"first_stage", "cond_stage", "gpt"}
+    assert "x_pos_emb" in out["gpt"]["params"]
+    assert "cond_pos_emb" in out["gpt"]["params"]
+
+    muse = save("muse.ckpt", ["maskgit.transformer.pos_emb"])
+    out = load_weights(muse, example_params={})
+    assert set(out) == {"first_stage", "cond_stage", "maskgit"}
+
+    s1 = save("stage1.ckpt", ["quantize.embedding.weight"])
+    out = load_weights(s1, example_params={})
+    assert set(out) == {"params"} and "codebook" in out["params"]
+
+    bogus = save("bogus.ckpt", ["who.knows"])
+    with pytest.raises(ValueError, match="unrecognized"):
+        load_weights(bogus, example_params={})
+
+
+def test_self_cond_detection_handles_frozen_trees():
+    """_tree_has_key must see through Mapping types (flax FrozenDict),
+    not only plain dicts — dropping self_cond_to_init_embed on a frozen
+    example tree would silently strip checkpoint params."""
+    import flax.core
+    from bevgen_tpu.training.checkpoints import _tree_has_key
+
+    tree = flax.core.freeze(
+        {"params": {"transformer": {"self_cond_to_init_embed": {"w": 1}}}})
+    assert _tree_has_key(tree, "self_cond_to_init_embed")
+    assert not _tree_has_key(tree, "absent_key")

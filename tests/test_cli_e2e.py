@@ -39,7 +39,7 @@ def test_generate_cli_fake_data(tmp_path, capsys):
                 "ring_front_left.jpg", "ring_front_right.jpg"} <= names
         gt_names = set(os.listdir(out / "sample_gt" / tok))
         assert "ring_front_center.jpg" in gt_names
-    assert (out / "rec").exists() or (out / "sample_rec").exists() or True
+    assert (out / "rec").exists() or (out / "sample_rec").exists()
 
 
 def test_generate_cli_partial_decode(tmp_path, capsys):
