@@ -265,3 +265,93 @@ def test_ref_bce_seg_loss_matches():
     np.testing.assert_allclose(float(out.loss), float(loss_t), rtol=1e-6)
     np.testing.assert_allclose(float(out.log["train/bce_loss"]),
                                float(log_t["train/bce_loss"]), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# full AR Net2Net checkpoint end-to-end: reference-shaped .ckpt
+# (first_stage_model. + cond_stage_model. + transformer., per
+# cond_transformer_multi_view.py:30) -> load_weights -> ARPipeline
+# generates. This is the path the round-2 review found silently broken
+# (everything routed to the MUSE converter).
+# ---------------------------------------------------------------------------
+
+def test_ref_ar_checkpoint_end_to_end(ref_vqgan, tmp_path, monkeypatch):
+    from bevgen_tpu.core.config import (MultiViewConfig, MuseConfig,
+                                        PipelineConfig)
+    from bevgen_tpu.pipelines.ar import ARPipeline
+    from bevgen_tpu.training.checkpoints import load_weights
+    import ref_harness as rh
+    import test_reference_execution as tre
+
+    # 8x-downsample stage 1 (channels 32/32/64/64 satisfy the
+    # reference's GroupNorm32): 32px -> 4x4 latents, n_embed 32 = the
+    # transformer vocab
+    dd = dict(double_z=False, z_channels=32, resolution=32, in_channels=3,
+              out_ch=3, ch=32, ch_mult=[1, 1, 2, 2], num_res_blocks=1,
+              attn_resolutions=[4], dropout=0.0)
+    tf = MultiViewConfig(
+        num_layers=2, num_heads=2, num_embed=64, hidden_size=64,
+        vocab_size=32, cond_vocab_size=32, num_cams=3,
+        cam_names="ARGOVERSE_FRONT_CAMERAS", dataset="argoverse",
+        cam_res=(32, 32), cam_latent_res=(4, 4), bev_latent_res=(4, 4),
+        window_len=4, sparse_block_size=8, density=0.7,
+        causal_order=True, camera_bias=True, image_embed=True,
+        bev_embed=True, legacy_prob_matrix=True)
+    s1 = Stage1Config(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                      z_channels=32, n_embed=32, embed_dim=16,
+                      resolution=32, attn_resolutions=(4,),
+                      cam_res=(32, 32), cam_latent_res=(4, 4))
+    bev = Stage1Config(in_channels=7, out_ch=7, n_labels=7, ch=32,
+                       ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                       z_channels=32, n_embed=32, embed_dim=16,
+                       resolution=32, attn_resolutions=(4,),
+                       cam_res=(32, 32), cam_latent_res=(4, 4))
+    cfg = PipelineConfig(transformer=tf, first_stage=s1, cond_stage=bev,
+                         muse=MuseConfig())
+
+    # --- assemble the reference-layout checkpoint ---
+    torch.manual_seed(7)
+    first = ref_vqgan.VQModel(ddconfig=dict(dd), lossconfig=None,
+                              n_embed=32, embed_dim=16, cam_res=(32, 32),
+                              cam_latent_res=(4, 4), cam_emd_dim=32)
+    cond = ref_vqgan.VQSegmentationModel(
+        ddconfig=dict(dd, in_channels=7, out_ch=7), lossconfig=None,
+        n_embed=32, embed_dim=16, cam_res=(32, 32), cam_latent_res=(4, 4),
+        cam_emd_dim=32, n_labels=7)
+    mingpt = rh.import_ref(
+        "multi_view_generation.modules.transformer.mingpt_sparse")
+    monkeypatch.setattr(mingpt, "SparseSelfAttention",
+                        tre._DenseEmulatedSparseSelfAttention)
+    np.random.seed(7)
+    gpt = mingpt.GPT(rh.ref_gpt_config(tf, backend="deepspeed"))
+
+    state = {}
+    for prefix, mod in (("first_stage_model.", first),
+                        ("cond_stage_model.", cond),
+                        ("transformer.", gpt)):
+        for k, v in mod.state_dict().items():
+            state[prefix + k] = v
+    path = tmp_path / "ar_net2net.ckpt"
+    torch.save({"state_dict": state}, str(path))
+
+    # --- load + generate ---
+    pipe = ARPipeline.create(cfg, use_pallas=False)
+    init = pipe.init_params(jax.random.PRNGKey(0))
+    params = load_weights(str(path), init)
+    for part in ("first_stage", "cond_stage", "gpt"):
+        missing, unexpected = ckpt.verify_tree_match(
+            params[part]["params"], init[part]["params"])
+        assert not missing, (part, missing[:5])
+        assert not unexpected, (part, unexpected[:5])
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    seg = jnp.asarray(
+        (np.random.default_rng(8).uniform(size=(1, 32, 32, 7)) > 0.5)
+        .astype(np.float32))
+    ii = jnp.broadcast_to(jnp.eye(3), (1, 3, 3, 3))
+    ei = jnp.broadcast_to(jnp.eye(4), (1, 3, 4, 4))
+    imgs, ids = pipe.generate_fn(params, seg, ii, ei,
+                                 jax.random.PRNGKey(2))
+    assert imgs.shape == (1, 3, 32, 32, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+    assert int(np.asarray(ids).max()) < tf.vocab_size
