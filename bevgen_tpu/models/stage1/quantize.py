@@ -87,9 +87,11 @@ def gumbel_quantize(logits: jnp.ndarray, codebook: jnp.ndarray, rng,
                     kl_weight: float = 5e-4) -> QuantizeResult:
     """Gumbel-softmax relaxed VQ (reference `GumbelQuantize`,
     quantize.py:110-209): `logits` (..., n_embed) are projected scores;
-    soft one-hot mixes the codebook, KL-to-uniform regularizer."""
+    soft one-hot mixes the codebook, KL-to-uniform regularizer.
+    `rng=None` zeroes the gumbel noise (deterministic eval)."""
     n = codebook.shape[0]
-    g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+    g = (jnp.zeros(logits.shape, jnp.float32) if rng is None
+         else jax.random.gumbel(rng, logits.shape, dtype=jnp.float32))
     lf = logits.astype(jnp.float32)
     soft = jax.nn.softmax((lf + g) / temperature, axis=-1)
     if hard:

@@ -124,9 +124,17 @@ def ema_init(params) -> EmaState:
                     count=jnp.zeros((), jnp.int32))
 
 
-def ema_update(state: EmaState, params, decay: float = 0.9999) -> EmaState:
-    """In-graph EMA (ema.py:162-345's functional core)."""
-    d = jnp.minimum(decay, (1.0 + state.count) / (10.0 + state.count))
+def ema_update(state: EmaState, params, decay: float = 0.9999,
+               warmup: bool = False) -> EmaState:
+    """In-graph EMA (ema.py:148-151's functional core: fixed-decay
+    `ema = ema*decay + (1-decay)*current`, matching the executed
+    reference). `warmup=True` opts into a count-based decay ramp
+    (min(decay, (1+t)/(10+t)), the ema-pytorch convention) — NOT what
+    the reference does; off by default for checkpoint-trajectory
+    parity."""
+    d = decay
+    if warmup:
+        d = jnp.minimum(decay, (1.0 + state.count) / (10.0 + state.count))
     new = jax.tree_util.tree_map(
         lambda e, p: e * d + p.astype(e.dtype) * (1 - d), state.params, params)
     return EmaState(params=new, count=state.count + 1)

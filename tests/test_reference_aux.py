@@ -87,3 +87,26 @@ def test_ref_labelator_and_sos_provider_match():
     np.testing.assert_array_equal(np.asarray(our_c), ref_c.numpy())
     np.testing.assert_array_equal(np.asarray(our_idx),
                                   ref_info[2].numpy())
+
+
+def test_ref_ema_update_rule_matches():
+    """Our functional EMA must follow the executed reference update
+    (ema.py:148-151: fixed decay, torch._foreach mul/add) step for
+    step — the reference has NO decay warmup ramp."""
+    from bevgen_tpu.training import optim
+
+    ema_mod = rh.import_ref("multi_view_generation.modules.stage2.ema")
+
+    rng = np.random.default_rng(9)
+    p = rng.standard_normal(16).astype(np.float32)
+    ema_t = [torch.from_numpy(p.copy())]
+    state = optim.ema_init({"w": p.copy()})
+    decay = 0.9
+
+    for step in range(5):
+        cur = rng.standard_normal(16).astype(np.float32)
+        ema_mod.ema_update(tuple(ema_t), (torch.from_numpy(cur),), decay)
+        state = optim.ema_update(state, {"w": cur}, decay=decay)
+        np.testing.assert_allclose(np.asarray(state.params["w"]),
+                                   ema_t[0].numpy(), rtol=1e-6,
+                                   err_msg=f"step {step}")

@@ -355,3 +355,45 @@ def test_ref_ar_checkpoint_end_to_end(ref_vqgan, tmp_path, monkeypatch):
     assert imgs.shape == (1, 3, 32, 32, 3)
     assert np.isfinite(np.asarray(imgs)).all()
     assert int(np.asarray(ids).max()) < tf.vocab_size
+
+
+def test_ref_gumbel_quantize_matches(monkeypatch):
+    """Execute the reference GumbelQuantize (quantize.py:110-209) with
+    the gumbel noise zeroed (torch's gumbel_softmax draws
+    -log(exponential_()); exponential_ -> 1 makes the noise exactly 0,
+    same as our rng=None path) and match z_q/KL/indices. The reference
+    proj conv is set to identity so both sides consume the same
+    logits."""
+    import ref_harness as rh
+    from bevgen_tpu.models.stage1 import quantize as vq
+
+    qmod = rh.import_ref("multi_view_generation.modules.stage1.quantize")
+    n_embed, e_dim = 12, 6
+    torch.manual_seed(8)
+    ref = qmod.GumbelQuantize(num_hiddens=n_embed, embedding_dim=e_dim,
+                              n_embed=n_embed, straight_through=True,
+                              kl_weight=5e-4, temp_init=1.0)
+    ref.eval()
+    with torch.no_grad():
+        ref.proj.weight.copy_(
+            torch.eye(n_embed).reshape(n_embed, n_embed, 1, 1))
+        ref.proj.bias.zero_()
+
+    monkeypatch.setattr(
+        torch.Tensor, "exponential_",
+        lambda self, *a, **k: self.fill_(1.0), raising=True)
+
+    rng = np.random.default_rng(10)
+    logits = rng.standard_normal((2, 4, 4, n_embed)).astype(np.float32)
+    with torch.no_grad():
+        z_q_t, diff_t, (_, _, ind_t) = ref(
+            torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))))
+
+    codebook = ref.embed.weight.detach().numpy()
+    out = vq.gumbel_quantize(jnp.asarray(logits), jnp.asarray(codebook),
+                             rng=None, temperature=1.0, hard=True)
+    np.testing.assert_array_equal(np.asarray(out.indices), ind_t.numpy())
+    np.testing.assert_allclose(
+        np.asarray(out.z_q),
+        np.transpose(z_q_t.numpy(), (0, 2, 3, 1)), atol=1e-6)
+    np.testing.assert_allclose(float(out.loss), float(diff_t), rtol=1e-5)
