@@ -24,6 +24,7 @@ REF_ROOT = Path("/root/reference")
 
 def _module(name: str, **attrs) -> types.ModuleType:
     mod = types.ModuleType(name)
+    mod.__path__ = []  # behave as a package (submodule stubs importable)
     for k, v in attrs.items():
         setattr(mod, k, v)
     mod.__stub__ = True  # marker so we never shadow a real package
@@ -158,7 +159,11 @@ def install_stage1_stubs() -> None:
                              Trainer=trainer_cls)
         rz = lambda f: f  # noqa: E731
         util = _module("pytorch_lightning.utilities", rank_zero_only=rz)
-        _module("pytorch_lightning.utilities.rank_zero", rank_zero_only=rz)
+        _module("pytorch_lightning.utilities.rank_zero", rank_zero_only=rz,
+                rank_zero_info=lambda *a, **k: None)
+        _module("pytorch_lightning.utilities.exceptions",
+                MisconfigurationException=type(
+                    "MisconfigurationException", (Exception,), {}))
         pl.utilities = util
         pl.loggers = _module("pytorch_lightning.loggers",
                              WandbLogger=type("WandbLogger", (), {}))
