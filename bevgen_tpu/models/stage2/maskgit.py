@@ -363,13 +363,20 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
     # the zeros embedding the reference uses when None
     sc_embed = None
     if cfg.self_cond:
-        pre: TransformerOutput = model.apply(
-            params, x, cond_ids, intrinsics_inv, extrinsics_inv,
-            cond_keep=None, deterministic=True)
-        flag = (jax.random.uniform(r_sc, ()) <
-                muse.self_cond_prob).astype(jnp.float32)
-        sc_embed = jax.lax.stop_gradient(
-            pre.embed.astype(jnp.float32)) * flag
+        def _pre_forward(_):
+            pre: TransformerOutput = model.apply(
+                params, x, cond_ids, intrinsics_inv, extrinsics_inv,
+                cond_keep=None, deterministic=True)
+            return jax.lax.stop_gradient(pre.embed.astype(jnp.float32))
+
+        embed_sd = jax.eval_shape(_pre_forward, None)
+        flag = jax.random.uniform(r_sc, ()) < muse.self_cond_prob
+        # lax.cond executes ONE branch under jit: the (1 - prob)
+        # fraction of steps skips the whole extra transformer forward,
+        # like the reference's python-level branch (:677-692)
+        sc_embed = jax.lax.cond(
+            flag, _pre_forward,
+            lambda _: jnp.zeros(embed_sd.shape, embed_sd.dtype), None)
 
     cond_keep = jax.random.uniform(r_drop, (b,)) >= muse.cond_drop_prob
     out: TransformerOutput = model.apply(

@@ -129,12 +129,7 @@ GPT_QUANT_LAYER_NAMES = ("query", "key", "value", "mlp_fc",
 def quantize_gpt_tree(params):
     """int8-quantize the AR GPT's dense kernels in place (keeps biases):
     {'kernel': W, ...} -> {'kernel_q', 'scale', ...}."""
-    def quant(node):
-        q, s = quantize_weight(node["kernel"])
-        out = {k: v for k, v in node.items() if k != "kernel"}
-        out.update(kernel_q=q, scale=s)
-        return out
-    return _map_named_modules(params, GPT_QUANT_LAYER_NAMES, "kernel", quant)
+    return quantize_dense_tree(params, GPT_QUANT_LAYER_NAMES)
 
 
 def dequantize_dense_tree(params, layer_names: Sequence[str] = QUANT_LAYER_NAMES):

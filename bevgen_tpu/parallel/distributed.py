@@ -50,7 +50,12 @@ def rank_zero(fn):
 
 def host_shard_indices(n: int) -> slice:
     """This host's contiguous shard of an n-sample dataset (per-host
-    input sharding for multi-host training)."""
+    input sharding for multi-host training).
+
+    Every host gets exactly n // process_count samples — the remainder
+    is DROPPED, not given to the last host: unequal shards would
+    desynchronize the per-host input pipelines (one host sees an extra
+    batch) and hang the SPMD collectives at end of epoch."""
     p, np_ = jax.process_index(), jax.process_count()
     per = n // np_
-    return slice(p * per, (p + 1) * per if p < np_ - 1 else n)
+    return slice(p * per, (p + 1) * per)

@@ -30,13 +30,15 @@ class ARPipeline(NamedTuple):
     gpt: SparseGPT
 
     @classmethod
-    def create(cls, config: PipelineConfig, dtype=None) -> "ARPipeline":
+    def create(cls, config: PipelineConfig, dtype=None,
+               use_pallas=None) -> "ARPipeline":
         dtype = dtype or jnp.dtype(config.dtype)
         return cls(
             config=config,
             first_stage=VQModel(config.first_stage, dtype=dtype),
             cond_stage=VQSegmentationModel(config.cond_stage, dtype=dtype),
-            gpt=SparseGPT(config.transformer, dtype=dtype),
+            gpt=SparseGPT(config.transformer, dtype=dtype,
+                          use_pallas=use_pallas),
         )
 
     def init_params(self, rng) -> Dict[str, Any]:
@@ -81,13 +83,26 @@ class ARPipeline(NamedTuple):
     def generate_fn(self, params, segmentation, intrinsics_inv,
                     extrinsics_inv, rng, temperature: float = 1.0,
                     top_k: Optional[int] = 100,
-                    init_ids: Optional[jnp.ndarray] = None):
-        """BEV raster in, camera images out (KV-cached decode). Jit this."""
+                    init_ids: Optional[jnp.ndarray] = None,
+                    cached: bool = True):
+        """BEV raster in, camera images out. Jit this.
+
+        cached=True uses the KV-cached incremental decoder (O(L)x less
+        compute, verified equivalent — models/stage2/ar_cached.py);
+        cached=False runs the reference-parity full-forward-per-token
+        loop (cond_transformer_multi_view.py:155-227)."""
         cond_ids = self.encode_bev(params, segmentation)
-        ids = ar_cached.ar_sample_cached(
-            self.gpt, params["gpt"], cond_ids, intrinsics_inv,
-            extrinsics_inv, rng, temperature=temperature, top_k=top_k,
-            init_ids=init_ids)
+        if cached:
+            ids = ar_cached.ar_sample_cached(
+                self.gpt, params["gpt"], cond_ids, intrinsics_inv,
+                extrinsics_inv, rng, temperature=temperature, top_k=top_k,
+                init_ids=init_ids)
+        else:
+            from bevgen_tpu.models.stage2 import ar as ar_full
+            ids = ar_full.ar_sample(
+                self.gpt, params["gpt"], cond_ids, intrinsics_inv,
+                extrinsics_inv, rng, temperature=temperature, top_k=top_k,
+                init_ids=init_ids)
         images = self.decode_tokens(params, ids)
         return images, ids
 

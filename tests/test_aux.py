@@ -230,20 +230,23 @@ def test_distributed_helpers_single_host():
 
 
 def test_host_shard_indices_partition():
-    """The per-host slices tile [0, n) without gaps for any process
-    layout (simulated via monkeypatched process index/count)."""
+    """Every host gets an EQUAL-size slice (remainder dropped) so the
+    per-host input pipelines stay in SPMD lockstep; slices tile a
+    prefix of [0, n) without gaps."""
     import bevgen_tpu.parallel.distributed as dist
     import jax
 
     orig_idx, orig_cnt = jax.process_index, jax.process_count
     try:
         jax.process_count = lambda: 3
-        covered = []
+        covered, sizes = [], []
         for p in range(3):
             jax.process_index = lambda p=p: p
             s = dist.host_shard_indices(10)
             covered.extend(range(s.start, s.stop))
-        assert covered == list(range(10))
+            sizes.append(s.stop - s.start)
+        assert sizes == [3, 3, 3]          # equal shards, remainder dropped
+        assert covered == list(range(9))   # contiguous prefix, no overlap
     finally:
         jax.process_index, jax.process_count = orig_idx, orig_cnt
 
