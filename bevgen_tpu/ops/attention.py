@@ -63,7 +63,9 @@ def make_sparse_attention(layout: np.ndarray, allowed: np.ndarray,
         keep = expand_layout_mask(layout, allowed, block)
         s = jnp.einsum("bhid,bhjd->bhij", q, k,
                        preferred_element_type=jnp.float32)
-        s = (s + bias[None, None]) * _scale(q.shape[-1])
+        if bias is not None:
+            s = s + bias[None, None]
+        s = s * _scale(q.shape[-1])
         s = jnp.where(keep[None], s, NEG_INF)
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v,
@@ -113,15 +115,14 @@ def make_sparse_attention(layout: np.ndarray, allowed: np.ndarray,
             q, k, v, layout, bias, out, g.astype(q.dtype), lse,
             block=block, tile=tile, scale=_scale(q.shape[-1]),
             num_cond_tokens=_nc(q), num_pad_tokens=num_pad_tokens)
-        if dbias is None:
-            dbias = jnp.zeros_like(bias)
+        # dbias is None exactly when bias was None (the kernels skip all
+        # bias reads and the whole dbias pass — no zeros stand-in that
+        # would bill dead gradient work for camera_bias=False configs)
         return dq, dk, dv, dbias
 
     attn.defvjp(fwd, bwd)
 
     def dispatch(q, k, v, bias=None):
-        if bias is None:
-            bias = jnp.zeros(allowed.shape, jnp.float32)
         on_tpu = jax.default_backend() == "tpu"
         use = use_pallas if use_pallas is not None else (on_tpu and pallas_ok)
         if use:

@@ -314,10 +314,10 @@ def make_fused_attention(sm_scale: float = 1.0, use_pallas: Optional[bool] = Non
         use = use_pallas if use_pallas is not None else on_tpu
         if not use:
             return _dense_reference(q, k, v, bias, keep, sm_scale)
-        # custom_vjp args must be arrays: substitute a zero bias / all-keep
-        N, M = q.shape[2], k.shape[2]
-        bias_arr = (jnp.zeros((N, M), jnp.float32) if bias is None
-                    else jnp.asarray(bias, jnp.float32))
+        # bias=None threads through the custom_vjp as an empty pytree —
+        # the kernels skip every bias read and the dbias pass, instead
+        # of billing dead gradient work for a zeros stand-in
+        bias_arr = None if bias is None else jnp.asarray(bias, jnp.float32)
         keep_arr = (jnp.ones((q.shape[0],), jnp.float32) if keep is None
                     else jnp.asarray(keep).astype(jnp.float32))
         return attn(q, k, v, bias_arr, keep_arr)
@@ -584,9 +584,7 @@ def make_cosine_attention_nhd(sm_scale: float = 8.0,
     def dispatch(q, k, v, null_kv, q_scale, k_scale, bias=None, keep=None):
         on_tpu = jax.default_backend() == "tpu"
         use = use_pallas if use_pallas is not None else on_tpu
-        N, M = q.shape[1], k.shape[1]
-        bias_arr = (jnp.zeros((N, M), jnp.float32) if bias is None
-                    else jnp.asarray(bias, jnp.float32))
+        bias_arr = None if bias is None else jnp.asarray(bias, jnp.float32)
         keep_arr = (jnp.ones((q.shape[0],), jnp.float32) if keep is None
                     else jnp.asarray(keep).astype(jnp.float32))
         if not use:
@@ -622,7 +620,8 @@ def make_cosine_attention(sm_scale: float = 8.0,
 
         qf = (l2n(q) * q_scale).astype(q.dtype)
         kf = (l2n(kc) * k_scale).astype(q.dtype)
-        biasp = jnp.pad(jnp.asarray(bias, f32), ((0, 0), (1, 0)))
+        biasp = (None if bias is None
+                 else jnp.pad(jnp.asarray(bias, f32), ((0, 0), (1, 0))))
         return qf, kf, vc, biasp
 
     @jax.custom_vjp
@@ -659,9 +658,8 @@ def make_cosine_attention(sm_scale: float = 8.0,
     def dispatch(q, k, v, null_kv, q_scale, k_scale, bias=None, keep=None):
         on_tpu = jax.default_backend() == "tpu"
         use = use_pallas if use_pallas is not None else on_tpu
-        N, M = q.shape[2], k.shape[2]
-        bias_arr = (jnp.zeros((N, M), jnp.float32) if bias is None
-                    else jnp.asarray(bias, jnp.float32))
+        # bias=None threads through (kernels skip bias reads + dbias)
+        bias_arr = None if bias is None else jnp.asarray(bias, jnp.float32)
         keep_arr = (jnp.ones((q.shape[0],), jnp.float32) if keep is None
                     else jnp.asarray(keep).astype(jnp.float32))
         if not use:
@@ -677,7 +675,8 @@ def _dense_cosine(qf, kf, vc, biasp, keep, sm_scale):
     already at index 0 of kf/vc/biasp)."""
     s = jnp.einsum("bhid,bhjd->bhij", qf, kf,
                    preferred_element_type=jnp.float32) * sm_scale
-    s = s + biasp[None, None]
+    if biasp is not None:
+        s = s + biasp[None, None]
     if keep is not None:
         M = kf.shape[2]
         col = jnp.arange(M)

@@ -3,6 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from functools import partial
 
 from bevgen_tpu.ops.pallas import fused_attention as fa
 
@@ -236,3 +237,45 @@ def test_cosine_nhd_dispatch_gradients_cpu():
     for gi in grads:
         assert np.isfinite(np.asarray(gi)).all()
         assert np.abs(np.asarray(gi)).max() > 0
+
+
+def test_cosine_dispatch_gradients_no_bias_interpret(monkeypatch):
+    """bias=None must thread through the custom_vjp (no zeros stand-in,
+    no dead dbias pass) and still match the dense gradients."""
+    monkeypatch.setattr(fa, "fused_cosine_attention_fwd",
+                        partial(fa.fused_cosine_attention_fwd,
+                                interpret=True))
+    monkeypatch.setattr(fa, "fused_bias_attention_bwd",
+                        partial(fa.fused_bias_attention_bwd,
+                                interpret=True))
+    q, k, v, null_kv, qs, ks, _ = cosine_case(B=1, H=2, N=64, M=33, D=64)
+    attn = fa.make_cosine_attention(sm_scale=8.0, use_pallas=True)
+
+    def loss(q, k, v, null_kv, qs, ks):
+        return jnp.sum(jnp.square(
+            attn(q, k, v, null_kv, qs, ks, bias=None, keep=None)))
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, null_kv,
+                                                   qs, ks)
+
+    def dense_loss(q, k, v, null_kv, qs, ks):
+        zero = jnp.zeros((q.shape[2], k.shape[2]), jnp.float32)
+        return jnp.sum(jnp.square(dense_cosine_reference(
+            q, k, v, null_kv, qs, ks, zero, None)))
+
+    gr = jax.grad(dense_loss, argnums=(0, 1, 2, 3, 4, 5))(q, k, v,
+                                                          null_kv, qs, ks)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3)
+
+
+def test_fused_bwd_no_bias_returns_none_dbias():
+    B, H, N, M, D = 1, 2, 64, 33, 64
+    rng = np.random.default_rng(11)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    dq, dk, dv, dbias = fa.fused_bias_attention_bwd(
+        mk(B, H, N, D), mk(B, H, M, D), mk(B, H, M, D), None, None,
+        mk(B, H, N, D), sm_scale=2.0, interpret=True)
+    assert dbias is None
+    assert np.isfinite(np.asarray(dq)).all()
