@@ -96,3 +96,20 @@ def test_inference_cli_forward_and_decode(capsys):
     out = capsys.readouterr().out
     line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
     assert json.loads(line)["mode"] == "decode"
+
+
+def test_generate_cli_nuscenes_layout(tmp_path, capsys):
+    """layout=nuscenes writes the flat gen/ gt/ rec/ trees keyed
+    <token>_<cam>.jpg (reference callback.py save_raw_data's nuScenes
+    format, consumed by metrics_eval.py's nuScenes mode)."""
+    from bevgen_tpu.scripts import generate
+
+    out = tmp_path / "gen"
+    generate.main(_tiny([f"eval_generate={out}", "fake=1", "batch_size=1",
+                         "layout=nuscenes", "save_rec=true"]))
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["images"] == 3
+    for tree in ("gen", "gt", "rec"):
+        files = os.listdir(out / tree)
+        assert len(files) == 3, (tree, files)
+        assert all(f.endswith(".jpg") and "_ring_" in f for f in files)
