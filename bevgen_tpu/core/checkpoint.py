@@ -449,8 +449,11 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    return {k: v.detach().cpu().numpy() for k, v in obj.items()
-            if hasattr(v, "detach")}
+    # strip the DeepSpeed engine wrapper prefix ONCE here so every
+    # downstream converter/router sees clean keys (the converters keep
+    # their own idempotent strips for direct state_dict() callers)
+    return {re.sub(r"^_forward_module\.", "", k): v.detach().cpu().numpy()
+            for k, v in obj.items() if hasattr(v, "detach")}
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,9 @@ def main(argv=None):
     eval_every = int(args.pop("eval_every", 0))
     base_lr = float(args.pop("base_lr", 1e-4))
     accumulate = int(args.pop("accumulate", 1))
+    # ema_warmup=true ramps the EMA decay from 0 for from-scratch runs
+    # (default: the reference's fixed decay, ema.py:148-151)
+    ema_warmup = args.pop("ema_warmup", "false").lower() == "true"
     # reference LR rule: accumulate x devices x per-device-batch x base_lr
     # (generate.py:58). Our batch_size is the GLOBAL batch (the loader
     # yields it whole and shard_batch splits it over dp), so the device
@@ -125,7 +128,8 @@ def main(argv=None):
             print(f"resumed params from {probe.latest()}")
 
     step_fn, state = trainer.make_sharded_train_step(model, tx, mesh, state,
-                                                     ema_every=accumulate)
+                                                     ema_every=accumulate,
+                                                     ema_warmup=ema_warmup)
 
     mgr = CheckpointManager(ckpt_dir, ckpt_minutes) if ckpt_dir else None
     rng = jax.random.PRNGKey(seed + 1)

@@ -103,10 +103,11 @@ def load_weights(path: str, example_params: Any) -> Any:
     inferred from `example_params`: if the target model was built with
     cfg.self_cond its init tree contains that module, and dropping the
     keys would leave the returned tree missing params."""
+    from collections.abc import Mapping
     p = Path(path)
     if p.suffix in (".ckpt", ".pt", ".pth"):
         state = ckpt_io.load_torch_checkpoint(str(p))
-        keys = [re.sub(r"^_forward_module\.", "", k) for k in state]
+        keys = list(state)
         if any(k.startswith("maskgit.") for k in keys):
             self_cond = _tree_has_key(example_params,
                                       "self_cond_to_init_embed")
@@ -115,11 +116,21 @@ def load_weights(path: str, example_params: Any) -> Any:
             return ckpt_io.convert_ar_net2net(state)
         if any(k.startswith(("encoder.", "decoder.", "quantize."))
                for k in keys):
-            # convert_stage1 doesn't strip the DeepSpeed wrapper prefix
-            # itself (the net2net converters do it at the group level)
-            stripped = {re.sub(r"^_forward_module\.", "", k): v
-                        for k, v in state.items()}
-            return {"params": ckpt_io.convert_stage1(stripped)}
+            tree = {"params": ckpt_io.convert_stage1(state)}
+            # production callers pass PIPELINE-shaped example trees
+            # ({'first_stage', 'cond_stage', ...}); graft the bare
+            # stage-1 model into its slot there, keeping the rest of
+            # the example (a wholesale replace would KeyError at the
+            # first encode)
+            if (isinstance(example_params, Mapping)
+                    and "first_stage" in example_params):
+                out = dict(example_params)
+                out["first_stage"] = tree
+                print("[load_weights] bare stage-1 checkpoint grafted "
+                      "into example tree's first_stage (cond_stage and "
+                      "the rest keep their current values)")
+                return out
+            return tree
         raise ValueError(
             f"unrecognized torch checkpoint family in {path}: "
             f"sample keys {keys[:5]}")

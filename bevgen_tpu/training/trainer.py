@@ -37,7 +37,8 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
                     ema_decay: float = 0.9999,
                     skip_nonfinite: bool = True,
-                    ema_every: int = 1):
+                    ema_every: int = 1,
+                    ema_warmup: bool = False):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: dict with tokens (b,cam,hw) int32, cond_ids (b,nc) int32,
@@ -77,7 +78,12 @@ def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
                 opt_state, state.opt_state)
         else:
             ok = jnp.bool_(True)
-        ema_cand = optim.ema_update(state.ema, new_params, ema_decay)
+        # ema_warmup=True ramps the decay from 0 (ema-pytorch style) so
+        # early EMA checkpoints track params in from-scratch runs; the
+        # default is the reference's fixed decay (ema.py:148-151) —
+        # matching its trajectory, including its near-init early EMA
+        ema_cand = optim.ema_update(state.ema, new_params, ema_decay,
+                                    warmup=ema_warmup)
         if ema_every > 1:
             # only the final micro-batch of each accumulation cycle
             # applies an optimizer update (optax.MultiSteps counts in
@@ -104,6 +110,7 @@ def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
 
 def make_sharded_train_step(model: MaskGit, tx, mesh: Mesh,
                             state: TrainState, ema_decay: float = 0.9999,
+                            ema_warmup: bool = False,
                             ema_every: int = 1):
     """jit the train step with explicit in/out shardings over `mesh`.
 
@@ -116,7 +123,8 @@ def make_sharded_train_step(model: MaskGit, tx, mesh: Mesh,
     """
     if mesh.size > 1:
         model = MaskGit(model.cfg, model.muse, model.dtype, mesh=mesh)
-    step_fn = make_train_step(model, tx, ema_decay, ema_every=ema_every)
+    step_fn = make_train_step(model, tx, ema_decay, ema_every=ema_every,
+                              ema_warmup=ema_warmup)
 
     param_sh = shd.param_shardings(state.params, mesh)
     opt_sh = shd.opt_state_shardings(state.opt_state, mesh)

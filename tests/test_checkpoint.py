@@ -252,3 +252,23 @@ def test_self_cond_detection_handles_frozen_trees():
         {"params": {"transformer": {"self_cond_to_init_embed": {"w": 1}}}})
     assert _tree_has_key(tree, "self_cond_to_init_embed")
     assert not _tree_has_key(tree, "absent_key")
+
+
+def test_bare_stage1_ckpt_grafts_into_pipeline_tree(tmp_path):
+    """A bare stage-1 torch checkpoint loaded against a PIPELINE-shaped
+    example tree must graft into its first_stage slot (not replace the
+    whole tree — the callers' next encode would KeyError)."""
+    torch = pytest.importorskip("torch")
+    from bevgen_tpu.training.checkpoints import load_weights
+
+    p = tmp_path / "vq.ckpt"
+    torch.save({"state_dict": {
+        "_forward_module.quantize.embedding.weight": torch.zeros(8, 4)}},
+        str(p))
+    example = {"first_stage": {"params": {"old": 1}},
+               "cond_stage": {"params": {"keep": 2}},
+               "maskgit": {"params": {}}}
+    out = load_weights(str(p), example)
+    assert set(out) == {"first_stage", "cond_stage", "maskgit"}
+    assert "codebook" in out["first_stage"]["params"]
+    assert out["cond_stage"]["params"]["keep"] == 2
