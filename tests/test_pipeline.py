@@ -274,3 +274,44 @@ def test_sharded_ar_generation_multichip():
     assert images.shape[:2] == (4, tf.num_cams)
     arr = np.asarray(ids)
     assert (arr >= 0).all() and (arr < tf.vocab_size).all()
+
+
+def test_tp_forward_logits_match_single_device(tiny_pipe):
+    """A single fp32 MaskGit forward under tensor parallelism (tp=2,
+    sharded dense kernels + shard_map attention) must match the
+    unsharded forward to reduction-reorder tolerance — isolates TP
+    numerical fidelity from the iterative decode's sampling cascade."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bevgen_tpu.models.stage2.maskgit import MaskGit
+    from bevgen_tpu.parallel import sharding as shd
+
+    pipe, params = tiny_pipe
+    cfg = pipe.config
+    batch = fake_batch(cfg, batch_size=2)
+    tf = cfg.transformer
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(
+        0, tf.vocab_size, (2, tf.num_cams, tf.num_cam_tokens)), jnp.int32)
+    cond = jnp.asarray(rng.integers(
+        0, tf.cond_vocab_size, (2, tf.num_cond_tokens)), jnp.int32)
+    ii = jnp.asarray(batch["intrinsics_inv"])
+    ei = jnp.asarray(batch["extrinsics_inv"])
+    mg_params = params["maskgit"]
+
+    single = MaskGit(tf, cfg.muse)
+    ref = np.asarray(
+        jax.jit(lambda p: single.apply(p, ids, cond, ii, ei).logits)(
+            mg_params))
+
+    mesh = shd.make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    sharded_model = MaskGit(tf, cfg.muse, mesh=mesh)
+    p_sh = jax.device_put(mg_params, shd.param_shardings(mg_params, mesh))
+    rep = NamedSharding(mesh, P())
+    with mesh:
+        out = jax.jit(
+            lambda p, a, c, i2, e2: sharded_model.apply(
+                p, a, c, i2, e2).logits,
+            in_shardings=(shd.param_shardings(mg_params, mesh),
+                          rep, rep, rep, rep))(p_sh, ids, cond, ii, ei)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
