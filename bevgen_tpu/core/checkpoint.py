@@ -438,11 +438,23 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     from pathlib import Path as _P
     p = _P(path)
     if p.is_dir():
+        # DeepSpeed names the current tag in a `latest` file; honor it
+        # (lexicographic sort would pick global_step1000 over
+        # global_step500 but ALSO global_step10000 over global_step9000
+        # — string order is not step order). Fall back to newest mtime.
         candidates = sorted(p.rglob("*model_states.pt"))
         if not candidates:
             raise FileNotFoundError(
                 f"no *model_states.pt under ZeRO dir {p}")
-        obj = torch.load(candidates[0], map_location="cpu",
+        latest = p / "latest"
+        chosen = None
+        if latest.is_file():
+            tag = latest.read_text().strip()
+            tagged = [c for c in candidates if tag in c.parts]
+            chosen = tagged[0] if tagged else None
+        if chosen is None:
+            chosen = max(candidates, key=lambda c: c.stat().st_mtime)
+        obj = torch.load(chosen, map_location="cpu",
                          weights_only=False)
         obj = obj.get("module", obj)
     else:

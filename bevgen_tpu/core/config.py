@@ -313,13 +313,17 @@ def argoverse_muse_config() -> PipelineConfig:
 
 
 def nuscenes_ar_config() -> PipelineConfig:
-    """The legacy autoregressive sparse-GPT pipeline (configs/model/stage_2.yaml)."""
+    """The legacy autoregressive sparse-GPT pipeline, mirroring
+    configs/model/stage_2.yaml exactly — including density 1.0
+    (stage_2.yaml:32): the per-head random layouts then admit every
+    block the static window+causality pattern doesn't already force,
+    which is what a reference checkpoint was trained against."""
     tf = MultiViewConfig(
         num_layers=24, num_heads=16, num_embed=1024, hidden_size=1024,
         vocab_size=1024, cond_vocab_size=1024,
         num_cams=6, cam_names="NUSCENES_CAMERAS", dataset="nuscenes",
         cam_res=(224, 400), cam_latent_res=(14, 25), bev_latent_res=(16, 16),
-        sparse_block_size=16, window_len=32, density=0.25,
+        sparse_block_size=16, window_len=32, density=1.0,
         causal_order=True, camera_bias=False, image_embed=True, bev_embed=False,
         legacy_prob_matrix=True,
     )
@@ -381,15 +385,18 @@ def argoverse_muse_7cam_config() -> PipelineConfig:
 
 
 def nuscenes_ar_tpu_config() -> PipelineConfig:
-    """nuscenes_ar with MXU-aligned 128-token sparse blocks: same
-    window+similarity sparsity family, but block granularity matched to
-    the TPU tile so the Pallas kernel's tile skipping pays off (~2x over
-    dense at density 0.25 — ops/pallas/block_sparse.py). Layouts are
-    runtime-sampled artifacts in the reference, so the block size is a
-    free hardware choice, not checkpoint state."""
+    """nuscenes_ar re-tuned for TPU training FROM SCRATCH: MXU-aligned
+    128-token sparse blocks at density 0.25 (same window+similarity
+    sparsity family; ~2x over dense — ops/pallas/block_sparse.py).
+    NOT layout-compatible with checkpoints trained at the reference's
+    density 1.0: density decides how many blocks the model ATTENDS to,
+    so it is behavioral (use `nuscenes_ar` for reference checkpoints);
+    the block granularity alone is a free hardware choice since the
+    reference samples layouts at runtime."""
     cfg = nuscenes_ar_config()
     return dataclasses.replace(
-        cfg, transformer=cfg.transformer.replace(sparse_block_size=128))
+        cfg, transformer=cfg.transformer.replace(sparse_block_size=128,
+                                                 density=0.25))
 
 
 PRESETS = {

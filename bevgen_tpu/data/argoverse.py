@@ -254,6 +254,11 @@ class ArgoverseDataset:
                     img = img[(img.shape[0] - img.shape[1]):]
                 else:
                     img = cg.square_crop(img, cam)
+            elif cam == "ring_front_center":
+                # NON-square (rect) mode keeps the reference's
+                # load-time transpose (argoverse.py:267): the portrait
+                # center image is served landscape to process_img
+                img = np.ascontiguousarray(img.transpose(1, 0, 2))
             if self.augment_cam:
                 # jitter runs in float here (the reference jitters the
                 # uint8 PIL image; training-time randomness, not a

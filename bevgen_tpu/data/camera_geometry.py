@@ -190,9 +190,15 @@ def augment_bev(rng: np.random.Generator, seg: np.ndarray,
         M[:, 2] += [dx, dy]
         out = np.empty_like(seg)
         for c0 in range(0, seg.shape[2], 4):  # warpAffine: <=4 channels
+            # albumentations ShiftScaleRotate defaults: BILINEAR with
+            # reflected borders, applied to the raster in its NATIVE
+            # dtype (the reference transforms the raw uint8 npz and
+            # floats it after, argoverse.py:252 — cv2's uint8 rounding
+            # is part of the augmentation distribution)
             out[..., c0:c0 + 4] = cv2.warpAffine(
                 np.ascontiguousarray(seg[..., c0:c0 + 4]), M, (w, h),
-                flags=cv2.INTER_NEAREST).reshape(h, w, -1)
+                flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_REFLECT_101).reshape(h, w, -1)
         seg = out
     if rng.uniform() < p_flip:
         seg = seg[:, ::-1].copy()

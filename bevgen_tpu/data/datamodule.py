@@ -131,6 +131,21 @@ def device_prefetch(it: Iterator[Dict[str, Any]], size: int = 2,
         yield buf.pop(0)
 
 
+class Subset:
+    """Index-selected view of a dataset (torch.utils.data.Subset
+    equivalent, used by the small_val knob)."""
+
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+
 class DataModule:
     """Train/val/test loader bundle (DataModuleFromConfig equivalent,
     incl. the smoke_test / small_val / mini_dataset knobs)."""
@@ -152,8 +167,18 @@ class DataModule:
 
     def val_dataloader(self):
         ds = self._val
+        if self.small_val and ds is not None:
+            # reference small_val: a fixed random subset of
+            # 2 * batch_size validation samples
+            # (datamodule_from_config.py:58-62)
+            n = min(len(ds), 2 * self.val_batch_size)
+            idx = np.random.default_rng(self.seed).choice(
+                len(ds), size=n, replace=False)
+            ds = Subset(ds, idx.tolist())
+        # torch/reference default: validation keeps the partial final
+        # batch (drop_last=False)
         return DataLoader(ds, self.val_batch_size, shuffle=False,
-                          num_workers=self.num_workers)
+                          num_workers=self.num_workers, drop_last=False)
 
     def test_dataloader(self):
         return DataLoader(self._test, self.val_batch_size, shuffle=False,

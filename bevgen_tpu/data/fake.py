@@ -17,7 +17,7 @@ from bevgen_tpu.models import geometry
 
 
 def fake_batch(pipe: PipelineConfig, batch_size: int = 1,
-               seed: int = 0, bev_size: int = 256) -> Dict[str, np.ndarray]:
+               seed: int = 0) -> Dict[str, np.ndarray]:
     """Batch dict schema (reference argoverse.py:296-305):
       image          (b, cam, H, W, 3)   normalized float32
       segmentation   (b, bev, bev, n_labels) float32

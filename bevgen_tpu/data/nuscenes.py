@@ -71,6 +71,23 @@ def quat_yaw(q) -> float:
     return float(np.arctan2(R[1, 0], R[0, 0]))
 
 
+def pose_flat(rotation_q, translation, inv: bool = False) -> np.ndarray:
+    """Yaw-only ('flat') pose (nuscenes_helper.py:152-161
+    get_pose(flat=True)): rotation reduced to its z-axis yaw."""
+    yaw = quat_yaw(rotation_q)
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    t = np.asarray(translation, np.float64)
+    out = np.eye(4)
+    if inv:
+        out[:3, :3] = R.T
+        out[:3, 3] = -R.T @ t
+    else:
+        out[:3, :3] = R
+        out[:3, 3] = t
+    return out
+
+
 def se3(rotation_q, translation, inv: bool = False) -> np.ndarray:
     """4x4 SE(3) from a (w,x,y,z) quaternion + translation
     (devkit transform_matrix equivalent)."""
@@ -177,6 +194,16 @@ class NuScenesDataset:
         nusc = self.nusc
         sample = self.samples[idx]
         data = nusc.sample_data_by_sample[sample["token"]]
+
+        # the nuScenes extrinsics convention is the OPPOSITE of the
+        # Argoverse one: E = cam_from_egocam @ egocam_from_world @
+        # world_from_egolidarFLAT (yaw-only lidar frame), i.e. ego->cam
+        # (nuscenes_helper.py:281-312 parse_sample_record) — NOT the
+        # calibrated sensor's cam->ego transform
+        egolidar = nusc.t["ego_pose"][data["LIDAR_TOP"]["ego_pose_token"]]
+        world_from_egolidarflat = pose_flat(egolidar["rotation"],
+                                            egolidar["translation"])
+
         imgs, Ks, Es = [], [], []
         for cam in self.cameras:
             sd = data[cam]
@@ -194,24 +221,40 @@ class NuScenesDataset:
             imgs.append(cg.normalize_image(img01) if self.normalize
                         else img01)
             Ks.append(adjust.apply(np.asarray(cs["camera_intrinsic"])))
-            Es.append(se3(cs["rotation"], cs["translation"])
-                      .astype(np.float32))  # ego_SE3_cam
+            egocam = nusc.t["ego_pose"][sd["ego_pose_token"]]
+            cam_from_egocam = se3(cs["rotation"], cs["translation"],
+                                  inv=True)
+            egocam_from_world = se3(egocam["rotation"],
+                                    egocam["translation"], inv=True)
+            Es.append((cam_from_egocam @ egocam_from_world @
+                       world_from_egolidarflat).astype(np.float32))
 
-        # BEV raster from annotations around the ego pose
-        lidar_sd = data["LIDAR_TOP"]
-        pose = nusc.t["ego_pose"][lidar_sd["ego_pose_token"]]
-        pose_inv = nr.parse_pose(pose["translation"],
-                                 quat_to_rotmat(pose["rotation"]), inv=True)
+        # BEV raster from annotations around the ego pose — the
+        # reference's raster frame is the FLAT (yaw-only) lidar pose
+        # (parse_sample_record stores pose_inverse =
+        # egolidarflat_from_world)
+        pose_inv = pose_flat(egolidar["rotation"], egolidar["translation"],
+                             inv=True)
+        # class mapping per the reference's get_category_index
+        # (token membership: 'vehicle.construction' -> construction,
+        # 'human.pedestrian.adult' -> pedestrian)
         boxes_by_class: Dict[str, List[np.ndarray]] = {}
         for a in nusc.anns_by_sample.get(sample["token"], []):
-            name = nusc.category_name(a)
-            cls = name.split(".")[1] if "." in name else name
+            idx = nr.category_index(nusc.category_name(a))
+            if idx is None:
+                continue
             quad = nr.box_bottom_corners(
                 a["translation"], a["size"], quat_yaw(a["rotation"]))
-            boxes_by_class.setdefault(cls, []).append(quad)
+            boxes_by_class.setdefault(nr.DYNAMIC_CLASSES[idx],
+                                      []).append(quad)
         dyn = nr.get_dynamic_layers(boxes_by_class, pose_inv)
-        static = np.zeros(dyn.shape[:2] + (4,), np.float32)
-        lines = np.zeros(dyn.shape[:2] + (2,), np.float32)
+        # map layers (lane/road_segment polygons + divider lines) need
+        # the nuScenes map expansion; without it they are zero — the
+        # CHANNEL ORDER is the reference CLASSES list either way
+        static = np.zeros(dyn.shape[:2] + (len(nr.STATIC_CLASSES),),
+                          np.float32)
+        lines = np.zeros(dyn.shape[:2] + (len(nr.DIVIDER_CLASSES),),
+                         np.float32)
         seg = np.concatenate([static, lines, dyn], axis=-1)
 
         K = np.stack(Ks)

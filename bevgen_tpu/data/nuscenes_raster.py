@@ -32,12 +32,25 @@ VIEW = get_view_matrix(BEV["h"], BEV["w"], BEV["h_meters"], BEV["w_meters"],
 # drop the z row when projecting homogeneous 3D points (reference S)
 S = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1]], np.float64)
 
-# 12-channel nuScenes layout (reference stage-1 nuScenes BEV format):
-# [drivable, ped_crossing, walkway, carpark, road_divider, lane_divider,
-#  car, truck, bus, trailer, pedestrian, motorcycle-ish]
-STATIC_CLASSES = ("drivable_area", "ped_crossing", "walkway", "carpark_area")
+# 12-channel nuScenes layout = the reference CLASSES list
+# (nuscenes_helper.py:16-30): STATIC (map polygon layers) + DIVIDER
+# (map line layers) + 8 DYNAMIC annotation classes, in this order
+STATIC_CLASSES = ("lane", "road_segment")
 DIVIDER_CLASSES = ("road_divider", "lane_divider")
-DYNAMIC_CLASSES = ("car", "truck", "bus", "trailer", "pedestrian", "bicycle")
+DYNAMIC_CLASSES = ("car", "truck", "bus", "trailer", "construction",
+                   "pedestrian", "motorcycle", "bicycle")
+
+
+def category_index(name: str, categories=DYNAMIC_CLASSES):
+    """Annotation category -> class index by dotted-token membership
+    (nuscenes_helper.py:402-411 get_category_index:
+    'human.pedestrian.adult' -> pedestrian, 'vehicle.construction' ->
+    construction). None when no token matches."""
+    tokens = name.split(".")
+    for i, category in enumerate(categories):
+        if category in tokens:
+            return i
+    return None
 
 
 def global_to_bev(points_global: np.ndarray,

@@ -228,15 +228,18 @@ def canonical_camera_rig(cfg: MultiViewConfig) -> Tuple[np.ndarray, np.ndarray]:
     function of the config so mask artifacts are deterministic.
 
     CONVENTION (matches the reference batch dict AND the cam_data
-    artifact): the stored extrinsics matrix is `ego_SE3_cam` (cam->ego,
-    bev_utils/argoverse.py:288,355), camera axes +z forward, +x right,
+    artifact, PER DATASET): for Argoverse the stored extrinsics matrix
+    is `ego_SE3_cam` (cam->ego, bev_utils/argoverse.py:288,355); for
+    nuScenes the reference stores the OPPOSITE, `cam_from_ego`
+    (nuscenes_helper.py:281-312). Camera axes +z forward, +x right,
     +y down. Every consumer — the model's ray embedding and
     image_direction_vectors — applies `.inverse()` and multiplies
     CAMERA-frame points by it (mask_generator.py:97-103,
-    mingpt_sparse.py:332-350), i.e. rays come out as R^T p rather than
-    the geometric R p; that reference quirk is reproduced identically
-    for canonical and measured rigs so the two paths differ only by
-    the rig VALUES, never by a frame flip.
+    mingpt_sparse.py:332-350): on Argoverse rays come out as the quirk
+    R^T p, on nuScenes as the geometric R p. Both behaviors are
+    reproduced identically for canonical and measured rigs, so within
+    a dataset the two rig paths differ only by the rig VALUES, never
+    by a frame flip.
     """
     names = cfg.camera_names
     n = len(names)
@@ -261,6 +264,14 @@ def canonical_camera_rig(cfg: MultiViewConfig) -> Tuple[np.ndarray, np.ndarray]:
         E = np.eye(4)
         E[:3, :3] = R
         extr[i] = E  # ego_SE3_cam (cam->ego), see docstring
+    if cfg.dataset == "nuscenes":
+        # the reference's nuScenes pipeline stores the OPPOSITE
+        # convention from Argoverse: E = cam_from_ego(lidar-flat)
+        # (nuscenes_helper.py:281-312 parse_sample_record), so its
+        # consumers' .inverse() lands on the geometric ego_from_cam.
+        # Match it so canonical and measured/loader rigs agree per
+        # dataset.
+        extr = np.linalg.inv(extr)
     return intr, extr
 
 

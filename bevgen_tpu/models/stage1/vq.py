@@ -108,9 +108,12 @@ class VQSegmentationModel(VQModel):
 
 
 def generate_plane(cfg: Stage1Config) -> np.ndarray:
-    """Latent-resolution pixel plane with the reference's (h,w)-swap
-    scaling quirk (vqgan.py:64-66)."""
+    """Latent-resolution pixel plane (vqgan.py:62-66): channel 0 (x)
+    scaled by image WIDTH, channel 1 (y) by HEIGHT. NB: stage 1 does
+    NOT have the stage-2 (h,w)-swap quirk — that lives only in
+    mingpt_sparse.py:291-292 / muse_maskgit_pytorch.py:246-248 and is
+    reproduced in models/stage2, not here."""
     g = geometry.generate_grid(cfg.cam_latent_res[0], cfg.cam_latent_res[1]).copy()
-    g[0] *= cfg.cam_res[0]
-    g[1] *= cfg.cam_res[1]
+    g[0] *= cfg.cam_res[1]   # x over width
+    g[1] *= cfg.cam_res[0]   # y over height
     return g

@@ -26,14 +26,23 @@ _NO_DECAY_TOKENS = ("bias", "embedding", "scale", "norm", "q_scale", "k_scale",
                     "null_kv", "pos_emb", "camera_bias_emb", "bev_cam_pos_emb",
                     "codebook")
 
+# the reference partition whitelists torch.nn.Linear ONLY — its Conv2d
+# geometric embeds (img_embed/cam_embed/bev_embed) fall in neither set
+# and land in the wd=0.0 group (cond_transformer_multi_view.py:413,
+# 443-444), so their kernels must NOT be decayed here either
+_NO_DECAY_MODULES = ("img_embed", "cam_embed", "bev_embed")
+
 
 def decay_mask(params) -> Any:
-    """True where weight decay applies: matmul/conv kernels only —
-    biases, norms, embeddings and the learned bias/scale tables are
-    excluded (minGPT partition, cond_transformer_multi_view.py:402-455)."""
+    """True where weight decay applies: Linear kernels only — biases,
+    norms, embeddings, the learned bias/scale tables AND the conv-based
+    geometric embeds are excluded (minGPT partition,
+    cond_transformer_multi_view.py:402-455)."""
     def is_decay(path, leaf):
         parts = [str(getattr(k, "key", k)).lower() for k in path]
         name = parts[-1] if parts else ""
+        if any(p in _NO_DECAY_MODULES for p in parts):
+            return False
         if name == "kernel":
             return True
         return not any(t in p for p in parts for t in _NO_DECAY_TOKENS)

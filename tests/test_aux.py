@@ -20,11 +20,13 @@ def test_global_to_bev_center():
 
 def test_static_and_line_layers():
     pose_inv = np.eye(4)
-    polys = {"drivable_area": [np.array(
+    # reference CLASSES static layers = (lane, road_segment)
+    # (nuscenes_helper.py:16-30)
+    polys = {"lane": [np.array(
         [[-20, -20, 0], [-20, 20, 0], [20, 20, 0], [20, -20, 0]],
         np.float64)]}
     static = nr.get_static_layers(polys, pose_inv)
-    assert static.shape == (256, 256, 4)
+    assert static.shape == (256, 256, 2)
     assert static[..., 0].sum() > 1000
     assert static[..., 1].sum() == 0
     lines = nr.get_line_layers(

@@ -320,11 +320,17 @@ def test_nuscenes_loader_synthetic_fixture(tmp_path):
     np.testing.assert_allclose(
         item["intrinsics_inv"][0] @ item["intrinsics"][0], np.eye(3),
         atol=1e-5)
-    # the car annotation 5m ahead rasterizes into the car channel
-    assert item["segmentation"][..., 4 + 2 + 0].sum() > 0
-    # extrinsics: ego_SE3_cam with the fixture's optical-frame rotation
+    # the car annotation 5m ahead rasterizes into the car channel —
+    # the reference CLASSES order puts dynamics right after the 2
+    # static + 2 divider channels (nuscenes_helper.py:16-30)
+    assert item["segmentation"][..., 2 + 2 + 0].sum() > 0
+    # extrinsics: the reference nuScenes convention is cam_from_ego
+    # (parse_sample_record, nuscenes_helper.py:281-312). The fixture's
+    # ego poses are identity-rotation and shared across sensors, so
+    # inv(E) is exactly ego_SE3_cam with the calibrated translation
     E = item["extrinsics"][0]
-    np.testing.assert_allclose(E[:3, 3], [1.0, 0.0, 1.5], atol=1e-6)
+    np.testing.assert_allclose(np.linalg.inv(E)[:3, 3], [1.0, 0.0, 1.5],
+                               atol=1e-6)
     np.testing.assert_allclose(np.abs(np.linalg.det(E[:3, :3])), 1.0,
                                atol=1e-6)
 
@@ -362,3 +368,26 @@ def test_nuscenes_scene_splits_shipped():
     assert all(s.startswith("scene-") for s in train[:5] + val[:5])
     with pytest.raises(ValueError, match="unknown nuScenes split"):
         scene_split("bogus")
+
+
+def test_small_val_subsets_validation():
+    """small_val subsets validation to 2*batch_size samples
+    (reference datamodule_from_config.py:58-62)."""
+    from bevgen_tpu.data.datamodule import DataModule
+
+    class Rng:
+        def __len__(self):
+            return 100
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    dm = DataModule(validation=Rng(), batch_size=3, num_workers=0,
+                    small_val=True)
+    batches = list(dm.val_dataloader())
+    n = sum(b["x"].shape[0] for b in batches)
+    assert n == 6
+    # full validation keeps the partial final batch (drop_last=False)
+    dm_full = DataModule(validation=Rng(), batch_size=3, num_workers=0)
+    assert sum(b["x"].shape[0]
+               for b in dm_full.val_dataloader()) == 100

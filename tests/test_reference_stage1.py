@@ -397,3 +397,43 @@ def test_ref_gumbel_quantize_matches(monkeypatch):
         np.asarray(out.z_q),
         np.transpose(z_q_t.numpy(), (0, 2, 3, 1)), atol=1e-6)
     np.testing.assert_allclose(float(out.loss), float(diff_t), rtol=1e-5)
+
+
+def test_ref_vqmodel_geometric_nonsquare_matches(ref_vqgan):
+    """Non-square geometric embedding: stage 1 scales pixel x by WIDTH
+    and y by HEIGHT (vqgan.py:62-66) — it does NOT have the stage-2
+    (h,w)-swap quirk. A square test can't tell the two apart; this one
+    can (32x48 image, 16x24 latent)."""
+    torch.manual_seed(5)
+    dd = dict(DD, resolution=48)
+    ref = ref_vqgan.VQModel(ddconfig=dd, lossconfig=None, n_embed=16,
+                            embed_dim=4, cam_res=(32, 48),
+                            cam_latent_res=(16, 24), cam_emd_dim=32,
+                            geometric_embedding=True)
+    ref.eval()
+    cfg = our_cfg(geometric_embedding=True, cam_emd_dim=32,
+                  resolution=48, cam_res=(32, 48), cam_latent_res=(16, 24))
+    model = VQModel(cfg)
+    params = _to_flax(ref.state_dict())
+
+    rng = np.random.default_rng(6)
+    b = 2
+    x = rng.standard_normal((b, 32, 48, 3)).astype(np.float32)
+    K = np.stack([np.array([[100.0, 0, 24], [0, 110.0, 16], [0, 0, 1]])
+                  for _ in range(b)]).astype(np.float32)
+    E = np.stack([np.eye(4) for _ in range(b)]).astype(np.float32)
+    E[:, :3, 3] = rng.standard_normal((b, 3))
+    K_inv, E_inv = np.linalg.inv(K), np.linalg.inv(E)
+
+    batch = {"intrinsics_inv": torch.from_numpy(K_inv.reshape(b, 1, 3, 3)),
+             "extrinsics_inv": torch.from_numpy(E_inv.reshape(b, 1, 4, 4))}
+    with torch.no_grad():
+        q_t, _, info = ref.encode(_nchw(x), batch)
+    idx_t = info[2].reshape(b, 16, 24).numpy()
+
+    enc = model.apply(params, jnp.asarray(x), jnp.asarray(K_inv),
+                      jnp.asarray(E_inv), method=VQModel.encode)
+    np.testing.assert_array_equal(np.asarray(enc.indices), idx_t)
+    np.testing.assert_allclose(
+        np.asarray(enc.z_q), np.transpose(q_t.numpy(), (0, 2, 3, 1)),
+        atol=2e-5, rtol=1e-4)

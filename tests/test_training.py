@@ -69,6 +69,24 @@ def test_decay_mask_partition():
     assert mask["camera_bias_emb"] is False
 
 
+def test_decay_mask_excludes_conv_geometric_embeds():
+    """The reference whitelists torch.nn.Linear only: its Conv2d
+    img_embed/cam_embed/bev_embed land in the wd=0.0 group
+    (cond_transformer_multi_view.py:413,443-444)."""
+    params = {
+        "img_embed": {"kernel": np.zeros((4, 4))},
+        "cam_embed": {"kernel": np.zeros((4, 4))},
+        "bev_embed": {"kernel": np.zeros((2, 4)), "bias": np.zeros(4)},
+        "to_q": {"kernel": np.zeros((4, 4))},
+    }
+    mask = optim.decay_mask(params)
+    assert mask["img_embed"]["kernel"] is False
+    assert mask["cam_embed"]["kernel"] is False
+    assert mask["bev_embed"]["kernel"] is False
+    assert mask["bev_embed"]["bias"] is False
+    assert mask["to_q"]["kernel"] is True
+
+
 def test_warmup_cosine_schedule():
     s = optim.warmup_cosine(1.0, warmup_steps=10, total_steps=110)
     assert float(s(0)) == 0.0
