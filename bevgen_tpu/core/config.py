@@ -277,7 +277,9 @@ class PipelineConfig:
     first_stage: Stage1Config = field(default_factory=Stage1Config)
     cond_stage: Stage1Config = field(default_factory=lambda: Stage1Config(
         in_channels=7, out_ch=7, n_labels=7))
-    batch_size: int = 1
+    # None = "not set on the CLI": scripts substitute their own
+    # defaults ONLY then, so an explicit batch_size=1 is honored
+    batch_size: Optional[int] = None
     seed: int = 0
     # compute dtype for the hot path; params stay fp32
     dtype: str = "bfloat16"
@@ -441,5 +443,15 @@ def apply_overrides(cfg: Any, overrides: Dict[str, Any]):
                 parts = [p for p in v.strip("[]() ").split(",") if p]
                 elem = type(cur[0]) if cur else int
                 v = tuple(elem(p) for p in parts)
+            elif cur is None:
+                # Optional fields default to None — coerce by the
+                # ANNOTATION instead of the current value's type
+                ann = str(fields[k].type)
+                if "int" in ann:
+                    v = int(v)
+                elif "float" in ann:
+                    v = float(v)
+                elif "bool" in ann:
+                    v = v.lower() in ("1", "true", "yes")
         coerced[k] = v
     return dataclasses.replace(cfg, **coerced)

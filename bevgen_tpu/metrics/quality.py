@@ -12,9 +12,9 @@ from typing import Optional
 import numpy as np
 
 try:
-    from scipy.ndimage import uniform_filter
+    from scipy.ndimage import gaussian_filter  # noqa: F401 (probe)
 except Exception:  # pragma: no cover
-    uniform_filter = None
+    gaussian_filter = None
 
 
 def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
@@ -26,26 +26,32 @@ def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
 
 
 def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0,
-         win_size: int = 11, k1: float = 0.01, k2: float = 0.03) -> float:
-    """Mean structural similarity (uniform window, per channel —
-    torchmetrics SSIM-compatible settings)."""
+         win_size: int = 11, sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03) -> float:
+    """Mean structural similarity, per channel, GAUSSIAN window (size
+    11, sigma 1.5) over the valid interior — torchmetrics
+    StructuralSimilarityIndexMeasure defaults (gaussian_kernel=True),
+    the metric the reference evaluates with (metrics_eval.py:115-132)."""
+    from scipy.ndimage import gaussian_filter
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     if a.ndim == 2:
         a, b = a[..., None], b[..., None]
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
+    r = win_size // 2
+    # truncate so the kernel support is exactly win_size taps
+    filt = lambda x: gaussian_filter(x, sigma, truncate=r / sigma)
     vals = []
     for c in range(a.shape[-1]):
         x, y = a[..., c], b[..., c]
-        mu_x = uniform_filter(x, win_size)
-        mu_y = uniform_filter(y, win_size)
-        xx = uniform_filter(x * x, win_size) - mu_x ** 2
-        yy = uniform_filter(y * y, win_size) - mu_y ** 2
-        xy = uniform_filter(x * y, win_size) - mu_x * mu_y
+        mu_x = filt(x)
+        mu_y = filt(y)
+        xx = filt(x * x) - mu_x ** 2
+        yy = filt(y * y) - mu_y ** 2
+        xy = filt(x * y) - mu_x * mu_y
         num = (2 * mu_x * mu_y + c1) * (2 * xy + c2)
         den = (mu_x ** 2 + mu_y ** 2 + c1) * (xx + yy + c2)
-        r = win_size // 2
         vals.append((num / den)[r:-r, r:-r].mean())
     return float(np.mean(vals))
 

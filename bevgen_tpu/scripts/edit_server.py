@@ -85,19 +85,29 @@ function rows(){
 async function generate(){
   document.getElementById('status').textContent = 'generating...';
   document.getElementById('gen').disabled = true;
-  const r = await fetch('/api/generate', {method:'POST',
-    headers:{'Content-Type':'application/json'},
-    body: JSON.stringify({cuboids: rows(), seed: 0})});
-  const out = await r.json();
-  document.getElementById('bev').src = out.bev;
-  const cams = document.getElementById('cams'); cams.innerHTML = '';
-  for (const [name, uri] of Object.entries(out.cameras)){
-    const h = document.createElement('h4'); h.textContent = name;
-    const im = document.createElement('img'); im.src = uri;
-    cams.appendChild(h); cams.appendChild(im);
+  try {
+    const r = await fetch('/api/generate', {method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body: JSON.stringify({cuboids: rows(), seed: 0})});
+    const out = await r.json();
+    if (!r.ok || out.error){
+      document.getElementById('status').textContent =
+        'error: ' + (out.error || r.status);
+      return;
+    }
+    document.getElementById('bev').src = out.bev;
+    const cams = document.getElementById('cams'); cams.innerHTML = '';
+    for (const [name, uri] of Object.entries(out.cameras)){
+      const h = document.createElement('h4'); h.textContent = name;
+      const im = document.createElement('img'); im.src = uri;
+      cams.appendChild(h); cams.appendChild(im);
+    }
+    document.getElementById('status').textContent = out.ms.toFixed(0)+' ms';
+  } catch (e) {
+    document.getElementById('status').textContent = 'error: ' + e;
+  } finally {
+    document.getElementById('gen').disabled = false;
   }
-  document.getElementById('status').textContent = out.ms.toFixed(0)+' ms';
-  document.getElementById('gen').disabled = false;
 }
 fetch('/api/annotations').then(r=>r.json()).then(rs=>rs.forEach(addRow));
 </script></body></html>

@@ -35,7 +35,7 @@ def main(argv=None):
     from bevgen_tpu.training.checkpoints import load_weights
     from bevgen_tpu.utils.outputs import GenerationWriter
 
-    batch_size = cfg.batch_size  # `batch_size=N` lands in cfg
+    batch_size = cfg.batch_size or 1  # `batch_size=N` lands in cfg
     fake = int(args.pop("fake", 0))
     save_dir = args.pop("eval_generate",
                         os.path.join(os.environ.get("SAVE_DATA_DIR", "output"),

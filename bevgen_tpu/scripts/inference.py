@@ -28,7 +28,7 @@ def main(argv=None):
     tf = cfg.transformer
     mode = args.pop("mode", "forward")
     # batch_size is a PipelineConfig field, so `batch_size=N` lands in cfg
-    batch_size = cfg.batch_size if cfg.batch_size > 1 else 8
+    batch_size = cfg.batch_size or 8
     reps = int(args.pop("reps", 5))
     do_profile = args.pop("profile", "false").lower() == "true"
     trace_dir = args.pop("trace_dir", "output/trace")

@@ -17,6 +17,20 @@ import numpy as np
 from bevgen_tpu.scripts import cli
 
 
+def _split_token_cam(stem: str):
+    """<token>_<cam> -> (token, cam). Camera names themselves contain
+    underscores (CAM_FRONT_LEFT, ring_front_center), so split by
+    matching a KNOWN camera-name suffix, longest first."""
+    from bevgen_tpu.core.config import CAMERA_SETS
+    known = sorted({c for cams in CAMERA_SETS.values() for c in cams},
+                   key=len, reverse=True)
+    for cam in known:
+        if stem.endswith("_" + cam):
+            return stem[:-(len(cam) + 1)], cam
+    tok, _, cam = stem.rpartition("_")
+    return tok, cam
+
+
 def load_pairs_nuscenes(root: Path, max_samples=None):
     """Flat gen/ gt/ layout (<token>_<cam>.jpg) — the reference's
     nuScenes mode (metrics_eval.py:52-74)."""
@@ -36,7 +50,7 @@ def load_pairs_nuscenes(root: Path, max_samples=None):
                          ).astype(np.float32) / 255.0
         gens.append(g)
         gts.append(t)
-        tok, _, cam = f.stem.rpartition("_")
+        tok, cam = _split_token_cam(f.stem)
         by_scene.setdefault(tok, ({}, {}))
         by_scene[tok][0][cam] = g
         by_scene[tok][1][cam] = t
@@ -93,8 +107,13 @@ def main(argv=None):
     print(f"{len(gen)} matched images, {len(scenes)} scenes")
 
     results = {}
-    results["psnr"] = float(np.mean(
-        [quality.psnr(a, b) for a, b in zip(gt, gen)]))
+    # torchmetrics PSNR aggregates GLOBAL squared error across all
+    # updates (one PSNR over the whole set), not a mean of per-image
+    # PSNRs — and the global form cannot go inf unless EVERY pixel
+    # matches (reported as None then, to keep the JSON line RFC-valid)
+    p = quality.psnr(gt, gen)
+    results["psnr"] = None if np.isinf(p) else float(p)
+    # torchmetrics SSIM default reduction IS the mean of per-image SSIMs
     results["ssim"] = float(np.mean(
         [quality.ssim(a, b) for a, b in zip(gt, gen)]))
 
@@ -125,7 +144,13 @@ def main(argv=None):
                 feat(np.stack(gs)), feat(np.stack(ts)))
 
     if do_consistency:
-        ratios = [cons.consistency_ratio(g, t) for g, t in scenes]
+        # pick the adjacent-camera pair table by the rig actually in
+        # the tree (nuScenes CAM_* vs Argoverse ring_*)
+        cams_seen = {c for g, _ in scenes for c in g}
+        pairs = (cons.NUSCENES_PAIRS
+                 if any(c.startswith("CAM_") for c in cams_seen)
+                 else cons.ARGOVERSE_PAIRS)
+        ratios = [cons.consistency_ratio(g, t, pairs) for g, t in scenes]
         results["consistency_gen_conf"] = float(np.mean(
             [r["gen_confidence"] for r in ratios]))
         results["consistency_gt_conf"] = float(np.mean(

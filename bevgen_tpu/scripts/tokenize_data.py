@@ -27,7 +27,7 @@ def main(argv=None):
     out_dir = args.pop("out_dir")
     ckpt_path = args.pop("ckpt_path", None)
     split = args.pop("datamodule.split", "train")
-    batch_size = cfg.batch_size if cfg.batch_size > 1 else 8
+    batch_size = cfg.batch_size or 8
     shard_size = int(args.pop("shard_size", 1024))
     fake = int(args.pop("fake", 0))
     seed = int(args.pop("seed", cfg.seed))

@@ -36,7 +36,7 @@ def main(argv=None):
 
     which = args.pop("model", "cam")
     steps = int(args.pop("steps", 100))
-    batch_size = cfg.batch_size if cfg.batch_size > 1 else 4
+    batch_size = cfg.batch_size or 4
     base_lr = float(args.pop("base_lr", cfg.base_lr))
     use_disc = args.pop("disc", "true" if which == "cam" else "false"
                         ).lower() == "true"

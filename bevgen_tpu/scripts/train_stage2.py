@@ -36,7 +36,7 @@ def main(argv=None):
     tf = cfg.transformer
     steps = int(args.pop("steps", 1000))
     # batch_size is a PipelineConfig field, so `batch_size=N` lands in cfg
-    batch_size = cfg.batch_size if cfg.batch_size > 1 else 8
+    batch_size = cfg.batch_size or 8
     tokens_dir = args.pop("tokens_dir", None)
     val_tokens_dir = args.pop("val_tokens_dir", None)
     eval_every = int(args.pop("eval_every", 0))

@@ -69,9 +69,14 @@ class SimpleTokenizer:
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.cache = {"<|startoftext|>": "<|startoftext|>",
                       "<|endoftext|>": "<|endoftext|>"}
+        # the reference pattern uses regex-module unicode classes
+        # ([\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+); stdlib-re equivalents:
+        # letters-run [^\W\d_]+, SINGLE digit \d, and a run of anything
+        # else non-space (punctuation incl. underscore) — digits split
+        # one-by-one and '_' as punctuation, exactly like CLIP's BPE
         self.pat = re.compile(
             r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-            r"|[^\s\w]+|\w+", re.IGNORECASE)
+            r"|[^\W\d_]+|\d|(?:[^\w\s]|_)+", re.IGNORECASE)
 
     def bpe(self, token: str) -> str:
         if token in self.cache:

@@ -196,3 +196,68 @@ def test_generation_writer_background(tmp_path):
     import pytest
     with pytest.raises(KeyError):
         w.flush()
+
+
+def test_ssim_matches_torchmetrics_kernel():
+    """Our gaussian-window SSIM vs a direct implementation of the
+    torchmetrics defaults (11-tap gaussian, sigma 1.5, valid interior)
+    built independently with explicit separable convolution."""
+    from bevgen_tpu.metrics import quality
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(40, 56, 3)).astype(np.float64)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+
+    # explicit torchmetrics-style kernel
+    r = 5
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    g = np.exp(-(xs ** 2) / (2 * 1.5 ** 2))
+    g /= g.sum()
+
+    def filt(x):
+        x = np.apply_along_axis(
+            lambda v: np.convolve(v, g, mode="same"), 0, x)
+        return np.apply_along_axis(
+            lambda v: np.convolve(v, g, mode="same"), 1, x)
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    vals = []
+    for c in range(3):
+        x, y = a[..., c], b[..., c]
+        mx, my = filt(x), filt(y)
+        xx = filt(x * x) - mx ** 2
+        yy = filt(y * y) - my ** 2
+        xy = filt(x * y) - mx * my
+        m = ((2 * mx * my + c1) * (2 * xy + c2) /
+             ((mx ** 2 + my ** 2 + c1) * (xx + yy + c2)))
+        vals.append(m[r:-r, r:-r].mean())
+    expect = float(np.mean(vals))
+    np.testing.assert_allclose(quality.ssim(a, b), expect, atol=1e-6)
+
+
+def test_metrics_eval_nuscenes_tree_parsing(tmp_path, capsys):
+    """Underscored camera names (CAM_FRONT_LEFT / ring_front_center)
+    must parse into (token, cam) correctly so scenes group by token and
+    the consistency pair table matches the rig."""
+    import cv2
+    from bevgen_tpu.scripts import metrics_eval
+
+    rng = np.random.default_rng(1)
+    for tree in ("gen", "gt"):
+        d = tmp_path / tree
+        d.mkdir()
+        for tok in ("tokA", "tokB"):
+            for cam in ("CAM_FRONT", "CAM_FRONT_LEFT", "CAM_FRONT_RIGHT"):
+                img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+                cv2.imwrite(str(d / f"{tok}_{cam}.jpg"), img)
+
+    gen, gt, scenes = metrics_eval.load_pairs(tmp_path)
+    assert len(gen) == 6 and len(scenes) == 2
+    for cams_g, cams_t in scenes:
+        assert set(cams_g) == {"CAM_FRONT", "CAM_FRONT_LEFT",
+                               "CAM_FRONT_RIGHT"}
+
+    metrics_eval.main([f"dir={tmp_path}", "consistency=true"])
+    import json as _json
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "psnr" in out and "ssim" in out
