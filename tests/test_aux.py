@@ -375,3 +375,18 @@ def test_print_config_tree_renders():
     out = buf.getvalue()
     for key in ("transformer", "first_stage", "num_layers", "ckpt_path"):
         assert key in out, f"{key} missing from config tree"
+
+
+def test_overrides_coerce_none_defaulted_fields():
+    """Optional fields default to None; CLI strings must still coerce
+    by annotation (batch_size=1 stays an INT and is honored, not
+    replaced by script defaults)."""
+    from bevgen_tpu.core.config import apply_overrides, tiny_test_config
+
+    cfg = tiny_test_config()
+    assert cfg.batch_size is None  # the "unset" sentinel
+    out = apply_overrides(cfg, {"batch_size": "1"})
+    assert out.batch_size == 1 and isinstance(out.batch_size, int)
+    assert (out.batch_size or 8) == 1        # script default NOT applied
+    out = apply_overrides(cfg, {"batch_size": "16"})
+    assert out.batch_size == 16
