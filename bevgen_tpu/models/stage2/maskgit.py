@@ -202,7 +202,8 @@ def top_k_filter(logits, thres: float):
 def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
              rng, init_ids: Optional[jnp.ndarray] = None,
              timesteps: Optional[int] = None,
-             force_not_use_token_critic: bool = False):
+             force_not_use_token_critic: bool = False,
+             can_remask_prev_masked: bool = False):
     """Iteratively decode image tokens for every camera.
 
     Args:
@@ -214,11 +215,22 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
         confidence-based re-masking instead of the critic pass — drops
         one of the two transformer forwards per step
         (muse_maskgit_pytorch.py:521,556).
+      can_remask_prev_masked: in the confidence (non-critic) scoring
+        path, let already-committed tokens compete for re-masking
+        instead of pinning them to -1e5
+        (muse_maskgit_pytorch.py:613-617) — only meaningful for
+        checkpoints trained with no_mask_token_prob > 0.
     Returns: (b, cam, h, w) int32 codebook indices.
     """
     cfg, muse = model.cfg, model.muse
     use_critic = ((muse.self_token_critic or muse.token_critic)
                   and not force_not_use_token_critic)
+    if can_remask_prev_masked and not use_critic:
+        # same guard as the reference (muse_maskgit_pytorch.py:616-617)
+        assert muse.no_mask_token_prob > 0.0, (
+            "without training with some of the non-masked tokens forced "
+            "to predict, not sure if the logits will be meaningful for "
+            "these token")
     T = timesteps or muse.sample_iterations
     b = cond_ids.shape[0]
     cam, hw = cfg.num_cams, cfg.num_cam_tokens
@@ -284,7 +296,8 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
             probs = jax.nn.softmax(logits, axis=-1)
             chosen = jnp.take_along_axis(probs, pred[..., None], axis=-1)[..., 0]
             scores = 1.0 - chosen
-            scores = jnp.where(is_mask, scores, -1e5)
+            if not can_remask_prev_masked:
+                scores = jnp.where(is_mask, scores, -1e5)
         return (ids, scores, sc), None
 
     # scan the first T-1 steps; peel the last (no score computation)
@@ -316,12 +329,16 @@ def masked_cross_entropy(logits, labels, ignore_index: int = -1):
 
 
 def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
-                 intrinsics_inv, extrinsics_inv) -> MaskGitLoss:
+                 intrinsics_inv, extrinsics_inv,
+                 mask_override=None) -> MaskGitLoss:
     """Training loss (muse_maskgit_pytorch.py:629-729).
 
     tokens: (b, cam, hw) ground-truth codebook indices.
     Cosine-schedule random masking drawn independently per camera image;
     CE on masked positions; self-critic BCE on resampled fakes.
+    mask_override: optional (b, cam, hw) bool — replace the random
+    cosine-schedule mask (deterministic parity tests against the
+    executed reference, which draws its mask from torch RNG).
     """
     cfg, muse = model.cfg, model.muse
     b, cam, hw = tokens.shape
@@ -338,6 +355,8 @@ def maskgit_loss(model: MaskGit, params, rng, tokens, cond_ids,
     noise = jax.random.uniform(r_perm, (b, cam, hw))
     rank = _rank_desc(-noise)                                     # random perm rank
     mask = rank < num_masked[..., None]
+    if mask_override is not None:
+        mask = jnp.asarray(mask_override, bool)
 
     labels = jnp.where(mask, tokens, -1)
 

@@ -559,3 +559,225 @@ def test_ref_gpt_forward_matches(monkeypatch):
         ours, ref_out, atol=5e-4,
         err_msg="our SparseGPT diverges from the EXECUTED reference GPT "
                 "with shared weights")
+
+
+# ---------------------------------------------------------------------------
+# FULL decode loop, reference-executed: token-for-token trajectory equality
+# ---------------------------------------------------------------------------
+
+def _decode_loop_fixture(self_cond: bool, seed: int):
+    """Build one reference MaskGit (self-critic) + our MaskGit sharing its
+    weights, plus a deterministic batch. Returns everything both decode
+    loops need."""
+    from bevgen_tpu.core.config import MultiViewConfig as MVC, MuseConfig
+    from bevgen_tpu.models.stage2.maskgit import MaskGit
+
+    base = cfg_argoverse_dense()
+    cfg = MVC(**{**{f: getattr(base, f) for f in base.__dataclass_fields__},
+                 "self_cond": self_cond})
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    muse = rh.import_ref(
+        "multi_view_generation.modules.stage2.muse_maskgit_pytorch")
+    rcfg = rh.ref_gpt_config(cfg)
+    ref_tf = muse.MaskGitTransformerMultiView(
+        num_tokens=cfg.vocab_size, seq_len=tuple(cfg.cam_latent_res),
+        dim=cfg.num_embed, depth=cfg.num_layers, dim_head=cfg.dim_head,
+        heads=cfg.num_heads, ff_mult=cfg.ff_mult, cfg=rcfg,
+        self_cond=self_cond)
+    ref_mg = muse.MaskGit(
+        image_size=tuple(cfg.cam_latent_res), transformer=ref_tf,
+        self_token_critic=True).eval()
+
+    state = {f"maskgit.{k}": v.numpy()
+             for k, v in ref_mg.state_dict().items()}
+    converted = ckpt.convert_net2net(state)
+    params = {"params": converted["maskgit"]["params"]}
+
+    mcfg = MuseConfig(self_token_critic=True, critic_noise_scale=0.0,
+                      temperature=1.0, topk_filter_thres=0.9,
+                      cond_scale=3.0)
+    model = MaskGit(cfg, mcfg)
+
+    b, cam = 2, cfg.num_cams
+    rng = np.random.default_rng(seed)
+    cond = rng.integers(0, cfg.cond_vocab_size, (b, cfg.num_cond_tokens))
+    intr, extr = geometry.canonical_camera_rig(cfg)
+    ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                         (b, cam, 3, 3)).astype(np.float32)
+    ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                         (b, cam, 4, 4)).astype(np.float32)
+    return muse, ref_mg, model, params, cfg, cond, ii, ei
+
+
+def _run_ref_generate(muse, ref_mg, cfg, cond, ii, ei, T, monkeypatch,
+                      init_ids=None, force_not_use_token_critic=False):
+    # zero the gumbel noise: the only stochastic input of the eval-mode
+    # decode loop once critic_noise_scale=0 (muse_maskgit_pytorch.py:446)
+    monkeypatch.setattr(muse, "gumbel_noise",
+                        lambda t: torch.zeros_like(t))
+    kw = {}
+    if init_ids is not None:
+        b, cam = cond.shape[0], cfg.num_cams
+        kw["init_ids"] = torch.tensor(
+            init_ids.reshape(b * cam, cfg.num_cam_tokens))
+    with torch.no_grad():
+        ref_ids = ref_mg.generate(
+            cond_images=torch.tensor(cond),
+            fmap_size=tuple(cfg.cam_latent_res),
+            temperature=1.0, topk_filter_thres=0.9, timesteps=T,
+            cond_scale=3.0, critic_noise_scale=0.0,
+            force_not_use_token_critic=force_not_use_token_critic,
+            batch={"intrinsics_inv": torch.tensor(ii),
+                   "extrinsics_inv": torch.tensor(ei)},
+            **kw)
+    b, cam = cond.shape[0], cfg.num_cams
+    h, w = cfg.cam_latent_res
+    return ref_ids.numpy().reshape(b, cam, h, w)
+
+
+def _run_our_generate(model, params, cfg, cond, ii, ei, T, monkeypatch,
+                      init_ids=None, force_not_use_token_critic=False):
+    from bevgen_tpu.models.stage2 import maskgit as mg
+    # zero-gumbel-noise sampling: argmax(logits/max(T,1e-10) + 0) ==
+    # argmax(logits) for any annealed temperature >= 0
+    monkeypatch.setattr(
+        mg, "gumbel_sample",
+        lambda rng, logits, temperature: jnp.argmax(logits, axis=-1))
+    ids = mg.generate(
+        model, params, jnp.asarray(cond, jnp.int32), jnp.asarray(ii),
+        jnp.asarray(ei), jax.random.PRNGKey(0),
+        init_ids=None if init_ids is None else jnp.asarray(init_ids,
+                                                           jnp.int32),
+        timesteps=T,
+        force_not_use_token_critic=force_not_use_token_critic)
+    return np.asarray(ids)
+
+
+def test_ref_generate_trajectory_matches_self_critic(monkeypatch):
+    """The ENTIRE eval decode loop, reference-executed: 6 steps of
+    re-mask -> demask forward -> top-k filter -> (zero-noise) gumbel
+    sample -> SelfCritic re-scoring (muse_maskgit_pytorch.py:511-621).
+    With the gumbel noise zeroed and critic_noise_scale=0 the loop is
+    deterministic; final token ids must match token-for-token.
+
+    (self_cond=False here: the reference's OWN generate crashes with
+    self_cond=True on multi-view shapes — the carried embed is
+    (b, cam*hw, d) but forward's self_cond_to_init_embed add expects
+    (b*cam, hw, d) (:356-359) — a dead upstream path, the shipped config
+    trains without self-cond. The self-cond forward itself is golden-
+    tested above with an explicit embed.)"""
+    muse, ref_mg, model, params, cfg, cond, ii, ei = _decode_loop_fixture(
+        self_cond=False, seed=31)
+    T = 6
+    ref_ids = _run_ref_generate(muse, ref_mg, cfg, cond, ii, ei, T,
+                                monkeypatch)
+    ours = _run_our_generate(model, params, cfg, cond, ii, ei, T,
+                             monkeypatch)
+    np.testing.assert_array_equal(
+        ours, ref_ids,
+        err_msg="scan decode loop diverges from the executed reference "
+                "generate() (self-critic re-masking)")
+
+
+def test_ref_generate_trajectory_matches_critic_free_partial(monkeypatch):
+    """The confidence-score decode path (force_not_use_token_critic,
+    muse_maskgit_pytorch.py:521,556,608-617) plus PARTIAL decoding
+    (init_ids pinned after every re-mask, :545-548): final ids match the
+    executed reference token-for-token and the pinned tokens survive."""
+    muse, ref_mg, model, params, cfg, cond, ii, ei = _decode_loop_fixture(
+        self_cond=False, seed=37)
+    T = 5
+    b, cam, hw = cond.shape[0], cfg.num_cams, cfg.num_cam_tokens
+    rng = np.random.default_rng(41)
+    init_ids = rng.integers(0, cfg.vocab_size,
+                            (b, cam, hw)).astype(np.int64)
+    regen = rng.uniform(size=(b, cam, hw)) < 0.6
+    init_ids[regen] = cfg.mask_token_id
+
+    ref_ids = _run_ref_generate(muse, ref_mg, cfg, cond, ii, ei, T,
+                                monkeypatch, init_ids=init_ids,
+                                force_not_use_token_critic=True)
+    ours = _run_our_generate(model, params, cfg, cond, ii, ei, T,
+                             monkeypatch, init_ids=init_ids,
+                             force_not_use_token_critic=True)
+    np.testing.assert_array_equal(
+        ours, ref_ids,
+        err_msg="critic-free partial decode diverges from the executed "
+                "reference generate()")
+    h, w = cfg.cam_latent_res
+    pinned = ~regen.reshape(b, cam, h, w)
+    np.testing.assert_array_equal(
+        ours[pinned], init_ids.reshape(b, cam, h, w)[pinned],
+        err_msg="partial decode overwrote pinned init tokens")
+
+
+def test_ref_training_loss_matches(monkeypatch):
+    """MaskGit TRAINING objective, reference-executed with a
+    deterministically injected mask: masked-CE + SelfCritic BCE and the
+    weighted total all match (muse_maskgit_pytorch.py:629-729). The
+    reference draws its mask from torch RNG (uniform rand_time +
+    rand-argsort permutation, :660-666); both its RNG entry points are
+    pinned and the identical mask is handed to maskgit_loss via
+    mask_override."""
+    import dataclasses
+
+    from bevgen_tpu.models.stage2 import maskgit as mg
+    from bevgen_tpu.models.stage2.maskgit import MaskGit
+
+    muse, ref_mg, model, params, cfg, cond, ii, ei = _decode_loop_fixture(
+        self_cond=False, seed=43)
+    ref_mg.train()  # the MUSE transformer has no dropout; train() only
+    # un-gates the cond-drop path, which cond_drop_prob=0 disables
+    b, cam, hw = cond.shape[0], cfg.num_cams, cfg.num_cam_tokens
+    rng = np.random.default_rng(47)
+    tokens = rng.integers(0, cfg.vocab_size, (b, cam, hw))
+
+    # deterministic mask, computed the reference's way (:660-666)
+    t = rng.uniform(size=(b * cam,)).astype(np.float32)
+    num = np.clip(np.round(hw * np.cos(t * np.pi / 2)), 1, None)
+    perm_noise = rng.uniform(size=(b * cam, hw)).astype(np.float32)
+    mask = np.argsort(perm_noise, axis=-1) < num[:, None].astype(np.int64)
+
+    real_rand = torch.rand
+
+    def fake_uniform(shape, min=0, max=1, device=None):
+        assert tuple(shape) == (b * cam,), shape
+        return torch.tensor(t)
+
+    def fake_rand(*size, **kw):
+        if size and size[0] == (b * cam, hw):
+            return torch.tensor(perm_noise)
+        return real_rand(*size, **kw)
+
+    monkeypatch.setattr(muse, "uniform", fake_uniform)
+    monkeypatch.setattr(torch, "rand", fake_rand)
+    monkeypatch.setattr(muse, "gumbel_noise",
+                        lambda x: torch.zeros_like(x))
+    monkeypatch.setattr(
+        mg, "gumbel_sample",
+        lambda r, logits, temperature: jnp.argmax(logits, axis=-1))
+
+    with torch.no_grad():
+        ref_total, ref_ce, ref_bce = ref_mg(
+            torch.tensor(tokens.reshape(b * cam, hw)),
+            cond_images=torch.tensor(cond),
+            cond_drop_prob=0.0,
+            sample_temperature=0.7,
+            batch={"intrinsics_inv": torch.tensor(ii),
+                   "extrinsics_inv": torch.tensor(ei)})
+
+    model0 = MaskGit(cfg, dataclasses.replace(model.muse,
+                                              cond_drop_prob=0.0))
+    ours = mg.maskgit_loss(
+        model0, params, jax.random.PRNGKey(3),
+        jnp.asarray(tokens, jnp.int32), jnp.asarray(cond, jnp.int32),
+        jnp.asarray(ii), jnp.asarray(ei),
+        mask_override=jnp.asarray(mask.reshape(b, cam, hw)))
+
+    np.testing.assert_allclose(float(ours.ce_loss), float(ref_ce),
+                               atol=2e-4)
+    np.testing.assert_allclose(float(ours.critic_loss), float(ref_bce),
+                               atol=2e-4)
+    np.testing.assert_allclose(float(ours.loss), float(ref_total),
+                               atol=4e-4)
