@@ -205,6 +205,17 @@ def import_ref_stage1():
         "multi_view_generation.modules.stage1.vqgan")
 
 
+def import_ref_ar():
+    """Import the reference AR Lightning module
+    (modules/stage2/cond_transformer_multi_view.py) — needs the same
+    Lightning/hydra stubs and utils-first import order as stage 1."""
+    install_stubs()
+    install_stage1_stubs()
+    importlib.import_module("multi_view_generation.utils")
+    return importlib.import_module(
+        "multi_view_generation.modules.stage2.cond_transformer_multi_view")
+
+
 def import_ref(module: str):
     """Import a reference module (e.g.
     'multi_view_generation.modules.transformer.permuter')."""

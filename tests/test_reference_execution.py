@@ -781,3 +781,73 @@ def test_ref_training_loss_matches(monkeypatch):
                                atol=2e-4)
     np.testing.assert_allclose(float(ours.loss), float(ref_total),
                                atol=4e-4)
+
+
+def test_ref_ar_sample_trajectory_matches(monkeypatch):
+    """The AR token-by-token sampling loop, reference-executed
+    (cond_transformer_multi_view.py:155-227): greedy (sample=False)
+    decode over the full outward order — re-mask-free, one full GPT
+    forward per token, logits plucked at (cam i, pos k) in permuter
+    order — vs our lax.scan ar_sample with categorical patched to
+    argmax. Token-for-token equality of the final latent grids."""
+    import types
+
+    from bevgen_tpu.models.stage2 import ar
+    from bevgen_tpu.models.stage2.gpt import SparseGPT
+
+    cfg = cfg_sparse_padded()
+    mingpt = rh.import_ref(
+        "multi_view_generation.modules.transformer.mingpt_sparse")
+    ctm = rh.import_ref_ar()
+
+    sm = masks.sparse_masks(cfg)
+    layouts_t = torch.tensor(sm.layouts)
+    allowed_t = torch.tensor(
+        np.repeat(sm.allowed[None], cfg.num_heads, axis=0))
+    monkeypatch.setattr(mingpt.GPTConfig, "get_mask",
+                        lambda self: (layouts_t, allowed_t))
+    monkeypatch.setattr(mingpt, "SparseSelfAttention",
+                        _DenseEmulatedSparseSelfAttention)
+
+    torch.manual_seed(29)
+    np.random.seed(29)
+    rcfg = rh.ref_gpt_config(cfg, backend="deepspeed")
+    ref_gpt = mingpt.GPT(rcfg).eval()
+
+    b, cam, hw = 2, cfg.num_cams, cfg.num_cam_tokens
+    rng = np.random.default_rng(6)
+    cond = rng.integers(0, cfg.cond_vocab_size, (b, cfg.num_cond_tokens))
+    intr, extr = geometry.canonical_camera_rig(cfg)
+    ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                         (b, cam, 3, 3)).astype(np.float32)
+    ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                         (b, cam, 4, 4)).astype(np.float32)
+    batch_t = {"intrinsics_inv": torch.tensor(ii),
+               "extrinsics_inv": torch.tensor(ei)}
+
+    # drive the reference's sample() as an unbound method on a shim —
+    # the surrounding Lightning module machinery (first/cond stage,
+    # loggers) is unused on the sample=False, full-decode path
+    shim = types.SimpleNamespace(cfg=rcfg, transformer=ref_gpt,
+                                 skip_sampling=False, debug_viz=False)
+    x0 = torch.zeros((b, cam, hw), dtype=torch.int64)
+    with torch.no_grad():
+        ref_ids = ctm.Net2NetTransformer.sample(
+            shim, x0, torch.tensor(cond), batch_t, temperature=1.0,
+            sample=False)
+    ref_ids = ref_ids.numpy().reshape(b, cam, *cfg.cam_latent_res)
+
+    state = {k: v.numpy() for k, v in ref_gpt.state_dict().items()}
+    params = {"params": ckpt.convert_gpt(state)}
+    model = SparseGPT(cfg, use_pallas=False)
+
+    monkeypatch.setattr(
+        jax.random, "categorical",
+        lambda r, logits, axis=-1: jnp.argmax(logits, axis=axis))
+    ours = np.asarray(ar.ar_sample(
+        model, params, jnp.asarray(cond, jnp.int32), jnp.asarray(ii),
+        jnp.asarray(ei), jax.random.PRNGKey(0), temperature=1.0))
+    np.testing.assert_array_equal(
+        ours, ref_ids,
+        err_msg="AR scan sampler diverges from the executed reference "
+                "token-by-token sample loop")
