@@ -851,3 +851,131 @@ def test_ref_ar_sample_trajectory_matches(monkeypatch):
         ours, ref_ids,
         err_msg="AR scan sampler diverges from the executed reference "
                 "token-by-token sample loop")
+
+
+def test_ref_muse_pixel_end_to_end_matches(monkeypatch):
+    """CAPSTONE fidelity test: the ENTIRE shipped inference path —
+    BEV raster -> VQSegmentationModel encode -> 4-step MaskGit decode
+    (self-critic) -> VQModel codebook decode — executed in the reference
+    (cond_transformer_multi_view_muse.py:121-164 + vqgan.py) and in
+    BEVGenPipeline with the SAME weights (one reference-layout state
+    dict through convert_net2net) and deterministic sampling. Token ids
+    must be EQUAL and the decoded PIXELS must match to fp32 tolerance.
+    This is the strongest available stand-in for the FID-parity gate:
+    with pixel-identical outputs at fp32, image metrics are identical
+    by construction."""
+    from bevgen_tpu.core.config import (MuseConfig, MultiViewConfig as MVC,
+                                        PipelineConfig, Stage1Config)
+    from bevgen_tpu.models.stage2 import maskgit as mg
+    from bevgen_tpu.pipelines.generate import BEVGenPipeline
+
+    ref_vqgan = rh.import_ref_stage1()
+    muse = rh.import_ref(
+        "multi_view_generation.modules.stage2.muse_maskgit_pytorch")
+
+    # 8x-downsample stage 1: 32px -> 4x4 latents; n_embed 32 = vocab
+    dd = dict(double_z=False, z_channels=32, resolution=32, in_channels=3,
+              out_ch=3, ch=32, ch_mult=[1, 1, 2, 2], num_res_blocks=1,
+              attn_resolutions=[4], dropout=0.0)
+    tf = MVC(
+        num_layers=2, num_heads=2, num_embed=64, hidden_size=64,
+        dim_head=32, vocab_size=32, cond_vocab_size=32, num_cams=3,
+        cam_names="ARGOVERSE_FRONT_CAMERAS", dataset="argoverse",
+        cam_res=(32, 32), cam_latent_res=(4, 4), bev_latent_res=(4, 4),
+        window_len=4, camera_bias=True, image_embed=True, bev_embed=True,
+        legacy_prob_matrix=True)
+    s1 = Stage1Config(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                      z_channels=32, n_embed=32, embed_dim=16,
+                      resolution=32, attn_resolutions=(4,),
+                      cam_res=(32, 32), cam_latent_res=(4, 4))
+    bev = Stage1Config(in_channels=7, out_ch=7, n_labels=7, ch=32,
+                       ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                       z_channels=32, n_embed=32, embed_dim=16,
+                       resolution=32, attn_resolutions=(4,),
+                       cam_res=(32, 32), cam_latent_res=(4, 4))
+    T = 4
+    mcfg = MuseConfig(self_token_critic=True, critic_noise_scale=0.0,
+                      temperature=1.0, topk_filter_thres=0.9,
+                      cond_scale=3.0, sample_iterations=T)
+    cfg = PipelineConfig(transformer=tf, first_stage=s1, cond_stage=bev,
+                         muse=mcfg)
+
+    # --- reference models, one seed ---
+    torch.manual_seed(53)
+    np.random.seed(53)
+    first = ref_vqgan.VQModel(ddconfig=dict(dd), lossconfig=None,
+                              n_embed=32, embed_dim=16, cam_res=(32, 32),
+                              cam_latent_res=(4, 4), cam_emd_dim=32).eval()
+    cond = ref_vqgan.VQSegmentationModel(
+        ddconfig=dict(dd, in_channels=7, out_ch=7), lossconfig=None,
+        n_embed=32, embed_dim=16, cam_res=(32, 32), cam_latent_res=(4, 4),
+        cam_emd_dim=32, n_labels=7).eval()
+    rcfg = rh.ref_gpt_config(tf)
+    ref_tf = muse.MaskGitTransformerMultiView(
+        num_tokens=tf.vocab_size, seq_len=tuple(tf.cam_latent_res),
+        dim=tf.num_embed, depth=tf.num_layers, dim_head=tf.dim_head,
+        heads=tf.num_heads, ff_mult=tf.ff_mult, cfg=rcfg)
+    ref_mg = muse.MaskGit(image_size=tuple(tf.cam_latent_res),
+                          transformer=ref_tf, self_token_critic=True).eval()
+
+    b, cam = 2, tf.num_cams
+    rng = np.random.default_rng(59)
+    seg = (rng.uniform(size=(b, 32, 32, 7)) > 0.5).astype(np.float32)
+    intr, extr = geometry.canonical_camera_rig(tf)
+    ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                         (b, cam, 3, 3)).astype(np.float32)
+    ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                         (b, cam, 4, 4)).astype(np.float32)
+
+    # --- reference inference path ---
+    monkeypatch.setattr(muse, "gumbel_noise",
+                        lambda t: torch.zeros_like(t))
+    with torch.no_grad():
+        seg_t = torch.from_numpy(np.transpose(seg, (0, 3, 1, 2)))
+        _, _, (_, _, c_ind) = cond.encode(seg_t, {})
+        c_ind = c_ind.view(b, -1)                  # encode_to_c (:149-155)
+        ref_ids = ref_mg.generate(
+            cond_images=c_ind, fmap_size=tuple(tf.cam_latent_res),
+            temperature=1.0, topk_filter_thres=0.9, timesteps=T,
+            cond_scale=3.0, critic_noise_scale=0.0,
+            batch={"intrinsics_inv": torch.tensor(ii),
+                   "extrinsics_inv": torch.tensor(ei)})
+        quant = first.quantize.get_codebook_entry(  # decode_to_img (:157-164)
+            ref_ids.reshape(-1), (b * cam, 4, 4, 16))
+        ref_imgs = first.decode(quant)
+    ref_ids = ref_ids.numpy().reshape(b, cam, 4, 4)
+    ref_imgs = np.transpose(ref_imgs.numpy(), (0, 2, 3, 1)).reshape(
+        b, cam, 32, 32, 3)
+
+    # --- ours: one reference-layout state dict -> pipeline params ---
+    state = {}
+    for prefix, mod in (("first_stage_model.", first),
+                        ("cond_stage_model.", cond),
+                        ("maskgit.", ref_mg)):
+        for k, v in mod.state_dict().items():
+            state[prefix + k] = v.numpy()
+    params = ckpt.convert_net2net(state)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    pipe = BEVGenPipeline.create(cfg, dtype=jnp.float32)
+    init = pipe.init_params(jax.random.PRNGKey(0))
+    for part in ("first_stage", "cond_stage", "maskgit"):
+        missing, unexpected = ckpt.verify_tree_match(
+            params[part]["params"], init[part]["params"])
+        assert not missing, (part, missing[:5])
+        assert not unexpected, (part, unexpected[:5])
+
+    monkeypatch.setattr(
+        mg, "gumbel_sample",
+        lambda r, logits, temperature: jnp.argmax(logits, axis=-1))
+    imgs, ids = pipe.generate_fn(params, jnp.asarray(seg),
+                                 jnp.asarray(ii), jnp.asarray(ei),
+                                 jax.random.PRNGKey(1))
+
+    np.testing.assert_array_equal(
+        np.asarray(ids), ref_ids,
+        err_msg="pipeline token ids diverge from the executed reference "
+                "end-to-end inference path")
+    np.testing.assert_allclose(
+        np.asarray(imgs), ref_imgs, atol=2e-4, rtol=1e-3,
+        err_msg="generated PIXELS diverge from the executed reference")
