@@ -116,6 +116,14 @@ def main():
     if serving_batch and serving_batch != headline_batch:
         extra["serving_batch%d" % serving_batch] = round(
             measure(pipe, params, cfg, serving_batch, reps, no_critic), 3)
+    # also record the reference's own critic-free serving mode
+    # (force_not_use_token_critic, muse_maskgit_pytorch.py:521,556) — one
+    # forward/step instead of two; the mode that clears the >=5x target
+    if not no_critic and os.environ.get("BENCH_SKIP_EXTRAS", "0") != "1":
+        cf = measure(pipe, params, cfg, headline_batch, reps, True)
+        extra["critic_free"] = round(cf, 3)
+        extra["critic_free_vs_baseline"] = round(
+            cf / BASELINE_IMAGES_PER_SEC, 3)
 
     mode = ("confidence re-mask" if no_critic else "self-critic")
     dtype_s = "int8" if quant else "bf16"

@@ -979,3 +979,126 @@ def test_ref_muse_pixel_end_to_end_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(imgs), ref_imgs, atol=2e-4, rtol=1e-3,
         err_msg="generated PIXELS diverge from the executed reference")
+
+
+def test_ref_ar_pixel_end_to_end_matches(monkeypatch, tmp_path):
+    """AR capstone: BEV raster -> cond encode -> greedy AR decode ->
+    pixel decode, reference-executed (Net2NetTransformer.sample +
+    decode_to_img path) vs ARPipeline with the KV-CACHED incremental
+    decoder, weights shared through a reference-layout .ckpt and
+    load_weights. Token ids equal, pixels equal at fp32 — the cached
+    decoder's equivalence to the reference becomes a single direct
+    assertion instead of a transitive chain."""
+    import types
+
+    from bevgen_tpu.core.config import (MuseConfig, MultiViewConfig as MVC,
+                                        PipelineConfig, Stage1Config)
+    from bevgen_tpu.pipelines.ar import ARPipeline
+    from bevgen_tpu.training.checkpoints import load_weights
+
+    ref_vqgan = rh.import_ref_stage1()
+    mingpt = rh.import_ref(
+        "multi_view_generation.modules.transformer.mingpt_sparse")
+    ctm = rh.import_ref_ar()
+
+    dd = dict(double_z=False, z_channels=32, resolution=32, in_channels=3,
+              out_ch=3, ch=32, ch_mult=[1, 1, 2, 2], num_res_blocks=1,
+              attn_resolutions=[4], dropout=0.0)
+    tf = MVC(
+        num_layers=2, num_heads=2, num_embed=64, hidden_size=64,
+        vocab_size=32, cond_vocab_size=32, num_cams=3,
+        cam_names="ARGOVERSE_FRONT_CAMERAS", dataset="argoverse",
+        cam_res=(32, 32), cam_latent_res=(4, 4), bev_latent_res=(4, 4),
+        window_len=4, sparse_block_size=8, density=0.7,
+        causal_order=True, camera_bias=True, image_embed=True,
+        bev_embed=True, legacy_prob_matrix=True)
+    s1 = Stage1Config(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                      z_channels=32, n_embed=32, embed_dim=16,
+                      resolution=32, attn_resolutions=(4,),
+                      cam_res=(32, 32), cam_latent_res=(4, 4))
+    bev = Stage1Config(in_channels=7, out_ch=7, n_labels=7, ch=32,
+                       ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                       z_channels=32, n_embed=32, embed_dim=16,
+                       resolution=32, attn_resolutions=(4,),
+                       cam_res=(32, 32), cam_latent_res=(4, 4))
+    cfg = PipelineConfig(transformer=tf, first_stage=s1, cond_stage=bev,
+                         muse=MuseConfig())
+
+    sm = masks.sparse_masks(tf)
+    layouts_t = torch.tensor(sm.layouts)
+    allowed_t = torch.tensor(
+        np.repeat(sm.allowed[None], tf.num_heads, axis=0))
+    monkeypatch.setattr(mingpt.GPTConfig, "get_mask",
+                        lambda self: (layouts_t, allowed_t))
+    monkeypatch.setattr(mingpt, "SparseSelfAttention",
+                        _DenseEmulatedSparseSelfAttention)
+
+    torch.manual_seed(61)
+    np.random.seed(61)
+    first = ref_vqgan.VQModel(ddconfig=dict(dd), lossconfig=None,
+                              n_embed=32, embed_dim=16, cam_res=(32, 32),
+                              cam_latent_res=(4, 4), cam_emd_dim=32).eval()
+    cond = ref_vqgan.VQSegmentationModel(
+        ddconfig=dict(dd, in_channels=7, out_ch=7), lossconfig=None,
+        n_embed=32, embed_dim=16, cam_res=(32, 32), cam_latent_res=(4, 4),
+        cam_emd_dim=32, n_labels=7).eval()
+    rcfg = rh.ref_gpt_config(tf, backend="deepspeed")
+    ref_gpt = mingpt.GPT(rcfg).eval()
+
+    b, cam, hw = 2, tf.num_cams, tf.num_cam_tokens
+    rng = np.random.default_rng(67)
+    seg = (rng.uniform(size=(b, 32, 32, 7)) > 0.5).astype(np.float32)
+    intr, extr = geometry.canonical_camera_rig(tf)
+    ii = np.broadcast_to(np.linalg.inv(intr)[None],
+                         (b, cam, 3, 3)).astype(np.float32)
+    ei = np.broadcast_to(np.linalg.inv(extr)[None],
+                         (b, cam, 4, 4)).astype(np.float32)
+    batch_t = {"intrinsics_inv": torch.tensor(ii),
+               "extrinsics_inv": torch.tensor(ei)}
+
+    with torch.no_grad():
+        seg_t = torch.from_numpy(np.transpose(seg, (0, 3, 1, 2)))
+        _, _, (_, _, c_ind) = cond.encode(seg_t, {})
+        c_ind = c_ind.view(b, -1)
+        shim = types.SimpleNamespace(cfg=rcfg, transformer=ref_gpt,
+                                     skip_sampling=False, debug_viz=False)
+        ref_ids = ctm.Net2NetTransformer.sample(
+            shim, torch.zeros((b, cam, hw), dtype=torch.int64), c_ind,
+            batch_t, temperature=1.0, sample=False)
+        quant = first.quantize.get_codebook_entry(
+            ref_ids.reshape(-1), (b * cam, 4, 4, 16))
+        ref_imgs = first.decode(quant)
+    ref_ids = ref_ids.numpy().reshape(b, cam, 4, 4)
+    ref_imgs = np.transpose(ref_imgs.numpy(), (0, 2, 3, 1)).reshape(
+        b, cam, 32, 32, 3)
+
+    # --- ours: reference-layout .ckpt -> load_weights -> cached decode ---
+    state = {}
+    for prefix, mod in (("first_stage_model.", first),
+                        ("cond_stage_model.", cond),
+                        ("transformer.", ref_gpt)):
+        for k, v in mod.state_dict().items():
+            state[prefix + k] = v
+    path = tmp_path / "ar_net2net.ckpt"
+    torch.save({"state_dict": state}, str(path))
+
+    pipe = ARPipeline.create(cfg, dtype=jnp.float32, use_pallas=False)
+    init = pipe.init_params(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(jnp.asarray,
+                                    load_weights(str(path), init))
+
+    monkeypatch.setattr(
+        jax.random, "categorical",
+        lambda r, logits, axis=-1: jnp.argmax(logits, axis=axis))
+    imgs, ids = pipe.generate_fn(params, jnp.asarray(seg),
+                                 jnp.asarray(ii), jnp.asarray(ei),
+                                 jax.random.PRNGKey(2), temperature=1.0,
+                                 top_k=None)
+
+    np.testing.assert_array_equal(
+        np.asarray(ids), ref_ids,
+        err_msg="KV-cached AR decode diverges from the executed "
+                "reference sample loop end-to-end")
+    np.testing.assert_allclose(
+        np.asarray(imgs), ref_imgs, atol=2e-4, rtol=1e-3,
+        err_msg="AR-generated PIXELS diverge from the executed reference")
