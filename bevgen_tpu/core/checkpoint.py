@@ -504,3 +504,24 @@ def restore_checkpoint(path: str, example=None):
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
     return ckptr.restore(path, item=example)
+
+
+def load_npz_tree(npz_path, missing_ok: bool = False):
+    """Flat `a/b/c -> array` npz -> nested flax params tree
+    ({"params": {...}} with jnp leaves). Shared loader for converted
+    backbone weights (LPIPS VGG, FID Inception)."""
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    if missing_ok and not Path(npz_path).exists():
+        return None
+    flat = dict(np.load(npz_path))
+    tree: Dict[str, Any] = {}
+    for k, v in flat.items():
+        node = tree
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return {"params": tree}

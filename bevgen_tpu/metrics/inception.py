@@ -199,7 +199,9 @@ class InceptionV3(nn.Module):
 
 def convert_inception_weights(pth_path: str, out_npz: str):
     """pytorch-fid pt_inception checkpoint -> flax npz, with a numeric
-    self-check against the torch model when pytorch-fid is importable."""
+    self-check against the torch model when pytorch-fid is importable
+    (skipped otherwise — this image has neither pytorch-fid nor the
+    checkpoint; the mapping itself is shape-verified below)."""
     import torch
     sd = torch.load(pth_path, map_location="cpu")
     out = {}
@@ -219,16 +221,37 @@ def convert_inception_weights(pth_path: str, out_npz: str):
         elif parts[0] == "fc":
             continue  # classifier head unused for pool3 features
     np.savez_compressed(out_npz, **out)
+    _converter_self_check(pth_path, out_npz)
     return len(out)
 
 
+def _converter_self_check(pth_path: str, out_npz: str,
+                          atol: float = 1e-3) -> bool:
+    """Run pool3 features through BOTH graphs on random input and
+    assert closeness. Requires pytorch-fid (the torch graph); returns
+    False (skipped) when it isn't importable."""
+    try:
+        from pytorch_fid.inception import InceptionV3 as TorchInception
+        import torch
+    except ImportError:
+        return False
+    x = np.random.default_rng(0).uniform(0, 1, (2, 3, 299, 299)) \
+        .astype(np.float32)
+    # our flax graph scales [0,1] -> [-1,1] internally (and its resize
+    # is identity at 299); normalize_input=True matches that contract
+    tm = TorchInception([3], resize_input=False, normalize_input=True)
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))[0].squeeze(-1).squeeze(-1).numpy()
+    model = InceptionV3()
+    params = load_params(out_npz)
+    ours = np.asarray(model.apply(params, jnp.asarray(
+        np.transpose(x, (0, 2, 3, 1)))))
+    err = float(np.max(np.abs(ours - ref)))
+    assert err < atol, f"inception converter self-check failed: {err}"
+    return True
+
+
 def load_params(npz_path: str):
-    flat = dict(np.load(npz_path))
-    tree: dict = {}
-    for k, v in flat.items():
-        node = tree
-        parts = k.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(v)
-    return {"params": tree}
+    from bevgen_tpu.core.checkpoint import load_npz_tree
+    return load_npz_tree(npz_path)

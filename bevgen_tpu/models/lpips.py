@@ -102,14 +102,5 @@ def convert_lpips_weights(vgg_pth: str, lpips_pth: str, out_npz: str):
 
 def load_lpips_params(npz_path: str):
     """npz -> flax params tree for LPIPS.apply; None if missing."""
-    if not Path(npz_path).exists():
-        return None
-    flat = dict(np.load(npz_path))
-    tree: dict = {}
-    for k, v in flat.items():
-        node = tree
-        parts = k.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(v)
-    return {"params": tree}
+    from bevgen_tpu.core.checkpoint import load_npz_tree
+    return load_npz_tree(npz_path, missing_ok=True)

@@ -111,14 +111,22 @@ def shard_params(params, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 
-def zero_pspec(leaf) -> P:
-    """Shard a moment tensor over dp along its largest axis (divisibility
-    is checked by the caller, which drops the annotation otherwise)."""
+def zero_pspec(leaf, dp: int = 1) -> P:
+    """Shard a moment tensor over dp along its largest dp-DIVISIBLE axis.
+
+    Falling back across axes matters: e.g. a (vocab+1, d) embedding
+    moment whose first axis isn't divisible still gets its second axis
+    sharded instead of silently replicating both Adam moments on every
+    device (the big params are exactly where ZeRO pays)."""
     if leaf.ndim == 0:
         return P()
-    dims = [None] * leaf.ndim
-    dims[int(np.argmax(leaf.shape))] = "dp"
-    return P(*dims)
+    order = np.argsort(leaf.shape)[::-1]  # axes, largest first
+    for ax in order:
+        if dp <= 1 or leaf.shape[int(ax)] % dp == 0:
+            dims = [None] * leaf.ndim
+            dims[int(ax)] = "dp"
+            return P(*dims)
+    return P()
 
 
 def opt_state_shardings(opt_state, mesh: Mesh):
@@ -127,14 +135,7 @@ def opt_state_shardings(opt_state, mesh: Mesh):
     def to_sharding(leaf):
         if not hasattr(leaf, "ndim"):
             return NamedSharding(mesh, P())
-        spec = zero_pspec(leaf)
-        dims = []
-        for i in range(leaf.ndim):
-            ax = spec[i] if i < len(spec) else None
-            if ax is not None and leaf.shape[i] % dp != 0:
-                ax = None
-            dims.append(ax)
-        return NamedSharding(mesh, P(*dims))
+        return NamedSharding(mesh, zero_pspec(leaf, dp))
     return jax.tree_util.tree_map(to_sharding, opt_state)
 
 

@@ -32,13 +32,18 @@ def make_figures(root: Path, out: Path, max_samples=None):
     n = 0
     for tok in tokens:
         gen_files = sorted((root / "sample" / tok).glob("*.jpg"))
+        # use only cameras present in EVERY existing source dir so the
+        # gen/GT rows stay the same width (a partially-written GT dir —
+        # interrupted run, keep_cameras subset — must not abort the
+        # whole figures pass on np.concatenate)
+        srcs = [s for s in ("sample", "sample_gt")
+                if (root / s / tok).exists()]
+        names = [f.name for f in gen_files
+                 if all((root / s / tok / f.name).exists() for s in srcs)]
         rows = []
-        for src in ("sample", "sample_gt"):
+        for src in srcs:
             d = root / src / tok
-            if not d.exists():
-                continue
-            imgs = [_load(d / f.name) for f in gen_files
-                    if (d / f.name).exists()]
+            imgs = [_load(d / nm) for nm in names]
             bev_png = root / "sample" / tok / "bev.png"
             if bev_png.exists() and imgs:
                 h = imgs[0].shape[0]
@@ -46,6 +51,9 @@ def make_figures(root: Path, out: Path, max_samples=None):
                 imgs = [bev] + imgs
             if imgs:
                 rows.append(np.concatenate(imgs, axis=1))
+        if rows and len({r.shape[1] for r in rows}) > 1:
+            print(f"[make_figures] skipping {tok}: row widths differ")
+            continue
         if rows:
             Im(np.concatenate(rows, axis=0)).save(out / f"{tok}.png")
             n += 1

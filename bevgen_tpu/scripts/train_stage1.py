@@ -114,10 +114,17 @@ def main(argv=None):
     lpips_fn = None
     if perceptual_npz:
         from bevgen_tpu.metrics.quality import LPIPSMetric
+        from bevgen_tpu.data.camera_geometry import (ARGOVERSE_MEAN,
+                                                     ARGOVERSE_STD)
         m = LPIPSMetric(perceptual_npz)
         if m.available:
-            lpips_fn = lambda a, b: m.model.apply(
-                m.params, a * 2 - 1, b * 2 - 1)
+            # x/xrec are Argoverse mean/std-normalized; the VGG head
+            # expects [-1, 1]. Denormalize to [0, 1] first (no clip —
+            # clipping would kill gradients on out-of-range xrec).
+            def lpips_fn(a, b, _m=m):
+                a = (a * ARGOVERSE_STD + ARGOVERSE_MEAN) * 2 - 1
+                b = (b * ARGOVERSE_STD + ARGOVERSE_MEAN) * 2 - 1
+                return _m.model.apply(_m.params, a, b)
         else:
             print(f"LPIPS weights not found at {perceptual_npz}; "
                   "training without perceptual loss")
@@ -185,11 +192,12 @@ def main(argv=None):
                      for a in pair], nrow=2)
             Im(panel).save(f"{run_dir}/recon_{i + 1:06d}.png")
         if mgr is not None:
-            mgr.save_step(i + 1, jax.tree_util.tree_map(
-                np.asarray, state.params_ae))
+            # save_step only materializes the tree when the wall-clock
+            # interval elapsed (_save does the np.asarray); transferring
+            # here would stall every step on a full device->host copy.
+            mgr.save_step(i + 1, state.params_ae)
     if mgr is not None:
-        mgr.save_step(steps, jax.tree_util.tree_map(
-            np.asarray, state.params_ae), force=True)
+        mgr.save_step(steps, state.params_ae, force=True)
     print("done")
 
 

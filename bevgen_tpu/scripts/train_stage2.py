@@ -123,9 +123,24 @@ def main(argv=None):
         restored = probe.restore_latest(
             jax.tree_util.tree_map(np.asarray, state.params))
         if restored is not None:
-            state = state._replace(params=jax.tree_util.tree_map(
-                jnp.asarray, restored))
-            print(f"resumed params from {probe.latest()}")
+            restored = jax.tree_util.tree_map(jnp.asarray, restored)
+            # Re-seed the EMA too: create_train_state initialized it from
+            # the RANDOM init params, and with decay 0.9999 a resumed
+            # run's EMA would stay dominated by that noise for ~10k
+            # updates. Prefer a saved -EMA sibling of the restored tag.
+            import os as _os
+            ema_params = restored["params"]
+            tag = probe.latest()
+            if tag and _os.path.isdir(tag + "-EMA"):
+                from bevgen_tpu.core import checkpoint as _ckpt_io
+                ema_tree = _ckpt_io.restore_checkpoint(
+                    tag + "-EMA", jax.tree_util.tree_map(
+                        np.asarray, ema_params))
+                ema_params = jax.tree_util.tree_map(jnp.asarray, ema_tree)
+                print(f"resumed EMA from {tag}-EMA")
+            state = state._replace(params=restored,
+                                   ema=optim.ema_init(ema_params))
+            print(f"resumed params from {tag}")
 
     step_fn, state = trainer.make_sharded_train_step(model, tx, mesh, state,
                                                      ema_every=accumulate,
@@ -174,17 +189,19 @@ def main(argv=None):
                 m["steps_per_sec"] = round((i + 1) / dt, 3)
                 print(json.dumps({"step": i + 1, **m}))
             if mgr is not None:
-                mgr.save_step(i + 1, jax.tree_util.tree_map(
-                    np.asarray, state.params))
+                # save_step no-ops (and must not touch the device) until
+                # the wall-clock interval elapses; _save host-transfers
+                # lazily. Keep the -EMA sibling in lockstep so a resume
+                # can restore both.
+                if mgr.save_step(i + 1, state.params):
+                    mgr.save_ema(i + 1, state.ema.params)
             if val_batches is not None and (i + 1) % eval_every == 0:
                 print(json.dumps({"step": i + 1,
                                   "val_ce": round(val_batches(state.params),
                                                   4)}))
     if mgr is not None:
-        mgr.save_step(steps, jax.tree_util.tree_map(np.asarray, state.params),
-                      force=True)
-        mgr.save_ema(steps, jax.tree_util.tree_map(np.asarray,
-                                                   state.ema.params))
+        mgr.save_step(steps, state.params, force=True)
+        mgr.save_ema(steps, state.ema.params)
     print("done")
 
 

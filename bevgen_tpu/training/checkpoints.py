@@ -64,6 +64,8 @@ class CheckpointManager:
         for t in tags[:-self.keep_last]:
             import shutil
             shutil.rmtree(self.dir / t, ignore_errors=True)
+            # drop the -EMA sibling with its base checkpoint
+            shutil.rmtree(self.dir / (t + "-EMA"), ignore_errors=True)
 
     def latest(self) -> Optional[str]:
         marker = self.dir / "LATEST"

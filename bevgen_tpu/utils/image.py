@@ -28,6 +28,8 @@ class Im:
             arr = np.asarray(data)
             if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[0] < arr.shape[-1]:
                 arr = np.moveaxis(arr, 0, -1)  # chw -> hwc
+            if arr.ndim == 3 and arr.shape[-1] == 1:
+                arr = arr[..., 0]  # (h, w, 1) -> grayscale plane
             if arr.ndim == 2:
                 arr = np.repeat(arr[..., None], 3, axis=-1)
             self._np = arr

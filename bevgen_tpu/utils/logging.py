@@ -36,10 +36,18 @@ class MetricsLogger:
                 json.dumps(config, indent=2, default=str))
 
     def log(self, step: int, metrics: Dict[str, Any]):
+        def jsonable(v):
+            # scalars (python or 0-d arrays) -> float; multi-element
+            # numpy/jax arrays -> list (float(v) would raise on those)
+            if isinstance(v, (int, float)):
+                return float(v)
+            if hasattr(v, "item"):
+                return float(v) if np.ndim(v) == 0 else \
+                    np.asarray(v).tolist()
+            return v
+
         rec = {"step": step, "time": time.time(),
-               **{k: (float(v) if hasattr(v, "item") or
-                      isinstance(v, (int, float)) else v)
-                  for k, v in metrics.items()}}
+               **{k: jsonable(v) for k, v in metrics.items()}}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         if self._wandb is not None:

@@ -57,11 +57,22 @@ class GenerationWriter:
                 max_workers=2, thread_name_prefix="genwriter")
 
     def flush(self):
-        """Block until every queued write has finished; re-raise the
-        first writer-thread error."""
-        for f in self._pending:
-            f.result()
-        self._pending = []
+        """Block until every queued write has settled; re-raise the
+        first writer-thread error. All futures are awaited even when
+        one raises (the 'call flush() before reading the tree' contract
+        must hold on the error path too), and the queue is always
+        cleared so a failed flush doesn't re-raise stale errors on
+        every later write."""
+        pending, self._pending = self._pending, []
+        first_err = None
+        for f in pending:
+            try:
+                f.result()
+            except Exception as e:  # settle the rest before raising
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
 
     def _token(self, token: str) -> str:
         if self.rand_str:

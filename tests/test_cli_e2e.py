@@ -76,11 +76,15 @@ def test_tokenize_train_generate_chain(tmp_path, capsys):
     assert "loss" in printed
     assert any(ckpts.iterdir()), "no checkpoint written"
 
-    # resume path: a second run restores the saved params
+    # resume path: a second run restores the saved params AND re-seeds
+    # the EMA from the saved -EMA sibling (a resumed EMA must not stay
+    # blended with the fresh random init)
     train_stage2.main(_tiny([
         f"tokens_dir={shards}", "steps=1", "batch_size=2", "tp=1", "dp=1",
         f"ckpt_dir={ckpts}", "warmup_steps=1", "log_every=1"]))
-    assert "resumed params from" in capsys.readouterr().out
+    resumed_out = capsys.readouterr().out
+    assert "resumed params from" in resumed_out
+    assert "resumed EMA from" in resumed_out
 
 
 def test_inference_cli_forward_and_decode(capsys):

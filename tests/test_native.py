@@ -69,3 +69,47 @@ def test_rasterize_scene_native_route(monkeypatch):
     for c in range(7):
         assert _iou(layers[..., c], ref[..., c]) > 0.95 or \
             ref[..., c].sum() == 0
+
+
+def test_native_city_scale_geometry_is_bounded_and_correct():
+    """City-scale (unculled) geometry must not stall the native path.
+
+    preprocess.py passes whole-city lane boundaries/drivable areas in
+    ego pixels (coords up to ~+-30000); every fully-off-raster segment
+    is rejected exactly (Bresenham pixels never leave the endpoint
+    bbox) and far-reaching visible segments are Liang-Barsky clipped.
+    """
+    import time
+
+    from bevgen_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(0)
+    # 5000 segments kilometres away + one crossing the window
+    far = rng.integers(5_000, 30_000, (5000, 2, 2)).astype(np.int32)
+    crossing = np.array([[-20_000, 128], [20_000, 128]], np.int32)
+    lines = [s for s in far] + [crossing]
+    t0 = time.perf_counter()
+    img = native.draw_polylines(lines, (256, 256))
+    dt = time.perf_counter() - t0
+    assert dt < 1.0, f"native polylines took {dt:.2f}s on culled-free input"
+    # only the crossing line lands in-raster: exactly row 128
+    assert img.sum() == 256
+    assert img[128].sum() == 256
+
+    # off-raster polygons write nothing and cost ~nothing
+    polys = [s.reshape(-1, 2) for s in
+             rng.integers(5_000, 30_000, (2000, 3, 2)).astype(np.int32)]
+    t0 = time.perf_counter()
+    pimg = native.fill_polygons(polys, (256, 256))
+    assert time.perf_counter() - t0 < 1.0
+    assert pimg.sum() == 0
+
+    # a clipped long segment matches cv2's clipped drawing on-raster
+    import cv2
+    ref = np.zeros((256, 256), np.uint8)
+    cv2.polylines(ref, [crossing], isClosed=False, color=1, thickness=1)
+    ours = native.draw_polylines([crossing], (256, 256))
+    assert (ours == ref).mean() > 0.999

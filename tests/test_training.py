@@ -262,3 +262,23 @@ def test_sharded_train_step_with_remat():
         sharded = shd.shard_batch(batch, mesh)
         state, metrics = step_fn(state, sharded, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_zero_pspec_falls_back_to_largest_divisible_axis():
+    """(vocab+1, d) moments whose largest axis isn't dp-divisible must
+    still shard over the next divisible axis instead of silently
+    replicating (the big embeddings are exactly where ZeRO pays)."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from bevgen_tpu.parallel.sharding import zero_pspec
+
+    leaf = np.zeros((16385, 1024), np.float32)
+    assert zero_pspec(leaf, dp=8) == P(None, "dp")
+    # largest axis divisible -> sharded there
+    assert zero_pspec(np.zeros((16384, 1024), np.float32), dp=8) == \
+        P("dp", None)
+    # nothing divisible -> replicated
+    assert zero_pspec(np.zeros((3, 5), np.float32), dp=8) == P()
+    # scalars replicate
+    assert zero_pspec(np.zeros((), np.float32), dp=8) == P()

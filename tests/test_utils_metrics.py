@@ -261,3 +261,32 @@ def test_metrics_eval_nuscenes_tree_parsing(tmp_path, capsys):
     import json as _json
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "psnr" in out and "ssim" in out
+
+
+def test_writer_flush_settles_all_futures_and_clears_queue(tmp_path):
+    """A failed background write must not leave stale futures behind:
+    flush() awaits everything, raises the FIRST error once, and later
+    flushes are clean (utils/outputs.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bevgen_tpu.utils.outputs import GenerationWriter
+
+    w = GenerationWriter(str(tmp_path), background=True)
+    done = []
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    def ok(i):
+        done.append(i)
+
+    # inject futures directly (the queue mechanics are what's under test)
+    w._pending = [w._executor.submit(boom), w._executor.submit(ok, 1),
+                  w._executor.submit(ok, 2)]
+    import pytest
+    with pytest.raises(RuntimeError, match="disk full"):
+        w.flush()
+    # every future settled, queue cleared, next flush is a no-op
+    assert sorted(done) == [1, 2]
+    assert w._pending == []
+    w.flush()
