@@ -162,11 +162,20 @@ def main(argv=None):
                                       opt_ae=opt_ae), {**log, "loss": loss}
             step_fn = jax.jit(nd_step)
 
+    from bevgen_tpu.training.preemption import PreemptionGuard
+
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
     t0 = time.perf_counter()
-    for i in range(steps):
+    last_step = 0
+    guard = PreemptionGuard()
+    with guard:
+      for i in range(steps):
+        if guard.should_stop:
+            print(json.dumps({"step": last_step, "preempted": True}))
+            break
         x = jnp.asarray(get_batch(i))
         state, metrics = step_fn(state, x, jax.random.PRNGKey(seed + i))
+        last_step = i + 1
         if (i + 1) % log_every == 0 or i == 0:
             m = {k: round(float(v), 4) for k, v in metrics.items()}
             m["steps_per_sec"] = round((i + 1) / (time.perf_counter() - t0), 3)
@@ -197,7 +206,8 @@ def main(argv=None):
             # here would stall every step on a full device->host copy.
             mgr.save_step(i + 1, state.params_ae)
     if mgr is not None:
-        mgr.save_step(steps, state.params_ae, force=True)
+        mgr.save_step(last_step or steps, state.params_ae, force=True)
+        mgr.wait()
     print("done")
 
 

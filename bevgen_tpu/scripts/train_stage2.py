@@ -56,6 +56,9 @@ def main(argv=None):
     warmup = int(args.pop("warmup_steps", 500))
     ckpt_dir = args.pop("ckpt_dir", None)
     ckpt_minutes = float(args.pop("ckpt_minutes", 30))
+    # ckpt_async=true writes checkpoints from a background worker so
+    # the loop only pays the host snapshot
+    ckpt_async = args.pop("ckpt_async", "false").lower() == "true"
     log_every = int(args.pop("log_every", 50))
     dp = args.pop("dp", None)
     tp = int(args.pop("tp", 1))
@@ -146,7 +149,8 @@ def main(argv=None):
                                                      ema_every=accumulate,
                                                      ema_warmup=ema_warmup)
 
-    mgr = CheckpointManager(ckpt_dir, ckpt_minutes) if ckpt_dir else None
+    mgr = (CheckpointManager(ckpt_dir, ckpt_minutes, async_save=ckpt_async)
+           if ckpt_dir else None)
     rng = jax.random.PRNGKey(seed + 1)
 
     # validation: mean masked-CE over a held-out token set
@@ -177,12 +181,16 @@ def main(argv=None):
             return float(np.mean(losses)) if losses else float("nan")
         val_batches = run_validation
 
+    from bevgen_tpu.training.preemption import PreemptionGuard
+
     t0 = time.perf_counter()
-    with mesh:
+    last_step = 0
+    with mesh, PreemptionGuard() as guard:
         for i in range(steps):
             batch = shd.shard_batch(
                 {k: np.asarray(v) for k, v in next(batches).items()}, mesh)
             state, metrics = step_fn(state, batch, rng)
+            last_step = i + 1
             if (i + 1) % log_every == 0 or i == 0:
                 m = {k: round(float(v), 4) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
@@ -199,9 +207,13 @@ def main(argv=None):
                 print(json.dumps({"step": i + 1,
                                   "val_ce": round(val_batches(state.params),
                                                   4)}))
+            if guard.should_stop:
+                print(json.dumps({"step": last_step, "preempted": True}))
+                break
     if mgr is not None:
-        mgr.save_step(steps, state.params, force=True)
-        mgr.save_ema(steps, state.ema.params)
+        mgr.save_step(last_step or steps, state.params, force=True)
+        mgr.save_ema(last_step or steps, state.ema.params)
+        mgr.wait()
     print("done")
 
 

@@ -21,36 +21,69 @@ from bevgen_tpu.core import checkpoint as ckpt_io
 
 class CheckpointManager:
     def __init__(self, directory: str, interval_minutes: float = 30.0,
-                 keep_last: int = 3):
+                 keep_last: int = 3, async_save: bool = False):
+        """async_save=True moves serialization + fsync + pruning to a
+        single background worker so the train loop only pays the
+        device->host snapshot (which must stay synchronous for
+        consistency). At most one write is in flight; a new save joins
+        the previous one first, and any worker exception re-raises on
+        that join / on wait()."""
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.interval_s = interval_minutes * 60.0
         self.keep_last = keep_last
         self._last_save = time.monotonic()
+        self._pool = None
+        self._pending = None
+        if async_save:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer")
 
-    def _save(self, tag: str, state: Any, update_latest: bool = True):
+    def _write(self, tag: str, tree: Any, update_latest: bool,
+               prune: bool):
         path = self.dir / tag
         if path.exists():
             import shutil
             shutil.rmtree(path)
-        tree = jax.tree_util.tree_map(np.asarray, state)
         ckpt_io.save_checkpoint(str(path), tree)
         if update_latest:
             (self.dir / "LATEST").write_text(tag)
+        if prune:
+            self._prune()
+
+    def _save(self, tag: str, state: Any, update_latest: bool = True,
+              prune: bool = False):
+        # host snapshot is synchronous either way — the caller may
+        # mutate/donate the buffers on the very next step. Async mode
+        # must COPY: np.asarray on an already-host-resident leaf is a
+        # view, and the write races the loop's in-place updates.
+        snap = np.array if self._pool is not None else np.asarray
+        tree = jax.tree_util.tree_map(snap, state)
+        if self._pool is None:
+            self._write(tag, tree, update_latest, prune)
+        else:
+            self.wait()
+            self._pending = self._pool.submit(
+                self._write, tag, tree, update_latest, prune)
+
+    def wait(self):
+        """Join (and surface errors from) any in-flight async write."""
+        if self._pending is not None:
+            fut, self._pending = self._pending, None
+            fut.result()
 
     def save_step(self, step: int, state: Any, force: bool = False):
         """Wall-clock-interval save (the 30-min ModelCheckpoint)."""
         now = time.monotonic()
         if force or (now - self._last_save) >= self.interval_s:
-            self._save(f"step_{step:08d}", state)
+            self._save(f"step_{step:08d}", state, prune=True)
             self._last_save = now
-            self._prune()
             return True
         return False
 
     def save_epoch(self, epoch: int, state: Any):
-        self._save(f"epoch_{epoch:04d}", state)
-        self._prune()
+        self._save(f"epoch_{epoch:04d}", state, prune=True)
 
     def save_ema(self, step: int, ema_params: Any):
         # EMA variants never own the resume pointer (LATEST must stay a
@@ -68,6 +101,7 @@ class CheckpointManager:
             shutil.rmtree(self.dir / (t + "-EMA"), ignore_errors=True)
 
     def latest(self) -> Optional[str]:
+        self.wait()
         marker = self.dir / "LATEST"
         if marker.exists():
             tag = marker.read_text().strip()
