@@ -137,10 +137,15 @@ def make_sharded_train_step(model: MaskGit, tx, mesh: Mesh,
     rng_sh = NamedSharding(mesh, P())
     metrics_sh = NamedSharding(mesh, P())
 
+    # donate the state: params/moments/EMA are pure old->new rewrites, so
+    # XLA aliases the buffers in place of holding two copies of the
+    # optimizer state across the update (the skip_nonfinite jnp.where
+    # reads of the old tree happen inside the computation and are safe)
     jitted = jax.jit(
         step_fn,
         in_shardings=(state_sh, batch_sh, rng_sh),
         out_shardings=(state_sh, metrics_sh),
+        donate_argnums=(0,),
     )
     sharded_state = jax.device_put(state, state_sh)
     return jitted, sharded_state
