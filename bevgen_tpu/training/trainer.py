@@ -147,5 +147,19 @@ def make_sharded_train_step(model: MaskGit, tx, mesh: Mesh,
         out_shardings=(state_sh, metrics_sh),
         donate_argnums=(0,),
     )
+    # Donation requires every flattened argument to own a distinct buffer.
+    # ema_init seeds the EMA tree with the SAME arrays as the params (and a
+    # resume without an -EMA sibling does the same), so the state tree can
+    # hold one buffer in two leaves — Execute() then rejects the donation
+    # ("attempt to donate the same buffer twice"). Copy repeat occurrences.
+    seen: set = set()
+
+    def _unalias(x):
+        if id(x) in seen:
+            return jnp.array(x, copy=True)
+        seen.add(id(x))
+        return x
+
+    state = jax.tree_util.tree_map(_unalias, state)
     sharded_state = jax.device_put(state, state_sh)
     return jitted, sharded_state
