@@ -210,9 +210,20 @@ class CosineAttention(nn.Module):
             # manual SPMD around the core: batch over dp, heads over tp
             # (attention is embarrassingly parallel over both); operands
             # get resharded to these specs at the boundary by GSPMD
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map  # jax >= 0.8
+                sm_kwargs = {"check_vma": False}
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+                sm_kwargs = {"check_rep": False}
             from jax.sharding import PartitionSpec as P
-            spec = P("dp", "tp", None, None)
+            # multi-slice meshes carry the slice axis on 'dcn'; the
+            # batch dim shards over it jointly with dp (attention is
+            # embarrassingly parallel over the batch, so no DCN
+            # collective is introduced here)
+            baxes = (("dcn", "dp") if "dcn" in self.mesh.axis_names
+                     else "dp")
+            spec = P(baxes, "tp", None, None)
             keep_arr = (jnp.ones((b,), jnp.float32) if keep is None
                         else jnp.asarray(keep).astype(jnp.float32))
             bias_arr = (jnp.zeros((n, m), jnp.float32) if attn_bias is None
@@ -221,8 +232,8 @@ class CosineAttention(nn.Module):
                 lambda *a: self._attention_core(*a),
                 mesh=self.mesh,
                 in_specs=(spec, spec, spec, P(None, "tp", None, None),
-                          P(None), P(None), P(None, None), P("dp")),
-                out_specs=spec, check_rep=False,
+                          P(None), P(None), P(None, None), P(baxes)),
+                out_specs=spec, **sm_kwargs,
             )(q, k, v, null_kv, q_scale, k_scale, bias_arr, keep_arr)
         else:
             out = self._attention_core(q, k, v, null_kv, q_scale, k_scale,

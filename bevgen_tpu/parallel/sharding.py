@@ -7,6 +7,8 @@ ZeRO-2 become sharding annotations — XLA inserts the all-reduces /
 reduce-scatters / all-gathers over ICI.
 
 Mesh axes:
+  dcn — (optional, multi-slice) outer data parallel ACROSS TPU slices:
+        only the gradient all-reduce crosses the slower DCN links.
   dp — data parallel: batch dim of every input, gradient all-reduce.
   tp — tensor parallel: attention heads + FFN hidden of the stage-2
        transformer (column-parallel in-proj, row-parallel out-proj).
@@ -14,6 +16,9 @@ Mesh axes:
 ZeRO-1/2 equivalence: optimizer moments are sharded over dp on each
 parameter's largest divisible axis; params stay replicated for the
 forward (XLA re-gathers moments only inside the optimizer update).
+On a multi-slice mesh the moments deliberately shard over dp ONLY —
+the per-update gather/scatter of the optimizer state rides ICI within
+a slice; the single cross-slice collective is the gradient reduction.
 """
 from __future__ import annotations
 
@@ -30,20 +35,71 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(dp: Optional[int] = None, tp: int = 1,
-              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (dp, tp) mesh over the available devices.
+              devices: Optional[Sequence[jax.Device]] = None,
+              dcn: int = 1) -> Mesh:
+    """Build a (dp, tp) — or, with dcn>1, a (dcn, dp, tp) — mesh.
 
-    With `dp` given explicitly the mesh uses the FIRST dp*tp devices
+    With `dp` given explicitly the mesh uses the FIRST dcn*dp*tp devices
     (running a 1x1 job on an 8-device host is legitimate); with dp=None
-    it spans every device (dp = n // tp)."""
+    it spans every device (dp = n // (dcn*tp)).
+
+    `dcn` is the number of TPU slices for multi-slice jobs: the caller
+    must order `devices` slice-major (make_multislice_mesh does) so the
+    leading mesh axis — and ONLY it — crosses the DCN; dp/tp collectives
+    then ride ICI within a slice."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % tp == 0, (n, tp)
-        dp = n // tp
-    assert dp * tp <= n, f"mesh {dp}x{tp} > {n} devices"
+        assert n % (dcn * tp) == 0, (n, dcn, tp)
+        dp = n // (dcn * tp)
+    assert dcn * dp * tp <= n, f"mesh {dcn}x{dp}x{tp} > {n} devices"
+    if dcn > 1:
+        arr = np.asarray(devices[:dcn * dp * tp]).reshape(dcn, dp, tp)
+        return Mesh(arr, axis_names=("dcn", "dp", "tp"))
     arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def make_multislice_mesh(tp: int = 1,
+                         devices: Optional[Sequence[jax.Device]] = None,
+                         slice_index_of=None) -> Mesh:
+    """Mesh for a multi-slice TPU job: group devices by `slice_index`
+    (slice-major order) and put the slice dimension on the `dcn` axis so
+    dp/tp collectives stay on ICI. Single-slice (or CPU) device sets
+    fall back to the plain (dp, tp) mesh.
+
+    `slice_index_of` overrides the device->slice mapping (tests use it
+    to emulate slices on virtual CPU devices)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if slice_index_of is None:
+        slice_index_of = lambda d: getattr(d, "slice_index", 0)  # noqa: E731
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(slice_index_of(d), []).append(d)
+    if len(groups) <= 1:
+        return make_mesh(tp=tp, devices=devices)
+    sizes = {len(v) for v in groups.values()}
+    assert len(sizes) == 1, f"unequal slice sizes {sizes}"
+    per = sizes.pop()
+    assert per % tp == 0, (per, tp)
+    ordered = [d for k in sorted(groups) for d in groups[k]]
+    return make_mesh(dp=per // tp, tp=tp, devices=ordered,
+                     dcn=len(groups))
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the batch dimension shards over: ('dcn', 'dp') on a
+    multi-slice mesh, ('dp',) otherwise. Every batch PartitionSpec in
+    the trainers/pipelines goes through this so a dcn mesh drops in."""
+    return ("dcn", "dp") if "dcn" in mesh.axis_names else ("dp",)
+
+
+def data_parallelism(mesh: Mesh) -> int:
+    """Total data-parallel ways (dcn * dp)."""
+    n = mesh.shape["dp"]
+    if "dcn" in mesh.axis_names:
+        n *= mesh.shape["dcn"]
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -145,10 +201,13 @@ def opt_state_shardings(opt_state, mesh: Mesh):
 
 
 def batch_shardings(batch, mesh: Mesh):
-    """Shard every array's leading (batch) dim over dp."""
+    """Shard every array's leading (batch) dim over dp (and dcn on a
+    multi-slice mesh)."""
+    spec = P(batch_axes(mesh))
+
     def to_sharding(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1:
-            return NamedSharding(mesh, P("dp"))
+            return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
     return jax.tree_util.tree_map(to_sharding, batch)
 

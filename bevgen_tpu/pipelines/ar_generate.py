@@ -118,7 +118,7 @@ def make_sharded_ar_generate(pipe: ARPipeline, mesh):
     def shard_params(params):
         return jax.device_put(params, shd.param_shardings(params, mesh))
 
-    batch_sh = NamedSharding(mesh, P("dp"))
+    batch_sh = NamedSharding(mesh, P(shd.batch_axes(mesh)))
     rng_sh = NamedSharding(mesh, P())
 
     jitted = jax.jit(

@@ -206,7 +206,9 @@ def main(argv=None):
             # here would stall every step on a full device->host copy.
             mgr.save_step(i + 1, state.params_ae)
     if mgr is not None:
-        mgr.save_step(last_step or steps, state.params_ae, force=True)
+        # tag = COMPLETED steps: a preemption before the first step must
+        # not label the untrained state as step_{steps}
+        mgr.save_step(last_step, state.params_ae, force=True)
         mgr.wait()
     print("done")
 

@@ -62,11 +62,19 @@ def main(argv=None):
     log_every = int(args.pop("log_every", 50))
     dp = args.pop("dp", None)
     tp = int(args.pop("tp", 1))
+    # dcn>1 builds a multi-slice (dcn, dp, tp) mesh: grads cross the DCN
+    # once per step, everything else rides ICI. dcn=auto groups devices
+    # by slice_index (the real multi-slice job path).
+    dcn = args.pop("dcn", "1")
     seed = int(args.pop("seed", cfg.seed))
     if args:
         print(f"[train_stage2] ignoring unknown args: {sorted(args)}")
 
-    mesh = shd.make_mesh(dp=int(dp) if dp else None, tp=tp)
+    if dcn == "auto":
+        mesh = shd.make_multislice_mesh(tp=tp)
+    else:
+        mesh = shd.make_mesh(dp=int(dp) if dp else None, tp=tp,
+                             dcn=int(dcn))
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
     model = MaskGit(tf, cfg.muse, dtype=jnp.dtype(cfg.dtype))
@@ -211,8 +219,10 @@ def main(argv=None):
                 print(json.dumps({"step": last_step, "preempted": True}))
                 break
     if mgr is not None:
-        mgr.save_step(last_step or steps, state.params, force=True)
-        mgr.save_ema(last_step or steps, state.ema.params)
+        # tag = COMPLETED steps: a preemption before the first step must
+        # not label the untrained state as step_{steps}
+        mgr.save_step(last_step, state.params, force=True)
+        mgr.save_ema(last_step, state.ema.params)
         mgr.wait()
     print("done")
 

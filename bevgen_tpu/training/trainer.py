@@ -133,7 +133,7 @@ def make_sharded_train_step(model: MaskGit, tx, mesh: Mesh,
         count=NamedSharding(mesh, P()))
     state_sh = TrainState(step=NamedSharding(mesh, P()), params=param_sh,
                           opt_state=opt_sh, ema=ema_sh)
-    batch_sh = NamedSharding(mesh, P("dp"))
+    batch_sh = NamedSharding(mesh, P(shd.batch_axes(mesh)))
     rng_sh = NamedSharding(mesh, P())
     metrics_sh = NamedSharding(mesh, P())
 
