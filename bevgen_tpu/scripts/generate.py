@@ -54,6 +54,12 @@ def main(argv=None):
     # quant=int8 switches to the int8 serving tree
     pipeline = args.pop("pipeline", "muse")
     quant = args.pop("quant", "none")
+    # multi-chip serving: dp/tp (+ dcn=N|auto for multi-slice jobs)
+    # build a device mesh and run the whole decode SPMD
+    # (pipelines.make_sharded_generate / make_sharded_ar_generate)
+    dp = args.pop("dp", None)
+    tp = int(args.pop("tp", 1))
+    dcn = args.pop("dcn", "1")
     if args.pop("print_config", "true").lower() == "true":
         cli.print_config_tree(cfg, extra={
             "eval_generate": save_dir, "ckpt_path": ckpt_path,
@@ -86,8 +92,40 @@ def main(argv=None):
                                drop_last=True)
         batches = iter(loader)
 
-    run = jax.jit(lambda p, s, ii, ei, r, init: pipe.generate_fn(
-        p, s, ii, ei, r, init_ids=init))
+    mesh = None
+    if dp or tp > 1 or dcn != "1":
+        from bevgen_tpu.parallel import sharding as shd
+        mesh = (shd.make_multislice_mesh(tp=tp) if dcn == "auto" else
+                shd.make_mesh(dp=int(dp) if dp else None, tp=tp,
+                              dcn=int(dcn)))
+        print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
+    if mesh is not None:
+        if keep_cameras:
+            raise SystemExit("keep_cameras (partial decode) is not "
+                             "supported together with a device mesh")
+        ways = shd.data_parallelism(mesh)
+        if batch_size % ways != 0:
+            raise SystemExit(f"batch_size={batch_size} must be divisible "
+                             f"by the data-parallel ways ({ways})")
+        if pipeline == "ar":
+            from bevgen_tpu.pipelines.ar_generate import (
+                make_sharded_ar_generate)
+            sharded_run, shard_params, shard_arrays = \
+                make_sharded_ar_generate(pipe, mesh)
+        else:
+            from bevgen_tpu.pipelines.generate import make_sharded_generate
+            sharded_run, shard_params, shard_arrays = \
+                make_sharded_generate(pipe, mesh)
+        params = shard_params(params)
+
+        def run(p, s, ii, ei, r, init):
+            with mesh:
+                s, ii, ei = shard_arrays(s, ii, ei)
+                return sharded_run(p, s, ii, ei, r)
+    else:
+        run = jax.jit(lambda p, s, ii, ei, r, init: pipe.generate_fn(
+            p, s, ii, ei, r, init_ids=init))
     # background writer: JPEG encode/IO overlaps the next device batch
     writer = GenerationWriter(save_dir, layout=layout, background=True)
     rng = jax.random.PRNGKey(seed)

@@ -55,6 +55,30 @@ def test_generate_cli_partial_decode(tmp_path, capsys):
     assert (out / "sample").is_dir()
 
 
+def test_generate_cli_sharded_mesh(tmp_path, capsys):
+    """dp/tp/dcn knobs serve through make_sharded_generate: the whole
+    decode runs SPMD on a (dcn=2, dp=2) virtual mesh from the CLI."""
+    from bevgen_tpu.scripts import generate
+
+    out = tmp_path / "gen"
+    generate.main(_tiny([f"eval_generate={out}", "fake=4", "batch_size=4",
+                         "dp=2", "dcn=2"]))
+    printed = capsys.readouterr().out
+    assert "mesh: {'dcn': 2, 'dp': 2, 'tp': 1}" in printed
+    stats = json.loads(printed.strip().splitlines()[-1])
+    assert stats["images"] == 12  # 4 scenes x 3 cams
+    assert len(os.listdir(out / "sample")) == 4
+
+
+def test_generate_cli_mesh_rejects_partial_decode(tmp_path):
+    from bevgen_tpu.scripts import generate
+
+    with pytest.raises(SystemExit, match="keep_cameras"):
+        generate.main(_tiny([f"eval_generate={tmp_path / 'g'}", "fake=2",
+                             "batch_size=2", "dp=2",
+                             "keep_cameras=ring_front_center"]))
+
+
 def test_tokenize_train_generate_chain(tmp_path, capsys):
     """The idiomatic-TPU input pipeline end-to-end: tokenize fake data
     into shards, train stage-2 from the shards, checkpoints written."""
