@@ -210,12 +210,17 @@ class CosineAttention(nn.Module):
             # manual SPMD around the core: batch over dp, heads over tp
             # (attention is embarrassingly parallel over both); operands
             # get resharded to these specs at the boundary by GSPMD
+            import inspect
             try:
                 from jax import shard_map  # jax >= 0.8
-                sm_kwargs = {"check_vma": False}
             except ImportError:
                 from jax.experimental.shard_map import shard_map
-                sm_kwargs = {"check_rep": False}
+            # the replication-check kwarg was renamed check_rep ->
+            # check_vma across jax versions; pick by the resolved
+            # function's actual signature, not by which import succeeded
+            sig_params = inspect.signature(shard_map).parameters
+            sm_kwargs = ({"check_vma": False} if "check_vma" in sig_params
+                         else {"check_rep": False})
             from jax.sharding import PartitionSpec as P
             # multi-slice meshes carry the slice axis on 'dcn'; the
             # batch dim shards over it jointly with dp (attention is

@@ -55,6 +55,20 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1,
     assert dcn * dp * tp <= n, f"mesh {dcn}x{dp}x{tp} > {n} devices"
     if dcn > 1:
         arr = np.asarray(devices[:dcn * dp * tp]).reshape(dcn, dp, tp)
+        # on real multi-slice hardware (devices carry slice_index) a
+        # misaligned explicit dcn=N would silently route dp/tp
+        # collectives over the slow DCN — require each dcn row to be a
+        # single slice (virtual CPU devices carry no slice_index and
+        # pass trivially; use make_multislice_mesh / dcn=auto for real
+        # jobs)
+        slice_ids = np.asarray(
+            [[getattr(d, "slice_index", 0) for d in row.ravel()]
+             for row in arr])
+        assert all(len(set(row)) == 1 for row in slice_ids), (
+            "make_mesh(dcn=%d): device order is not slice-major — each "
+            "dcn row must map to exactly one TPU slice (rows saw slice "
+            "ids %s). Use make_multislice_mesh() / dcn=auto, which "
+            "orders devices by slice_index." % (dcn, slice_ids.tolist()))
         return Mesh(arr, axis_names=("dcn", "dp", "tp"))
     arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))

@@ -31,10 +31,44 @@ def _split_token_cam(stem: str):
     return tok, cam
 
 
-def load_pairs_nuscenes(root: Path, max_samples=None):
+def verify_tree_hashes(root: Path, subdirs, strict: bool = True):
+    """sha1-verified sample matching (metrics_eval.py:52-74): hash each
+    tree's SORTED relative jpg path set and require all trees to agree.
+    A partially-written tree (crashed generation run, mid-copy rsync)
+    fails loudly here instead of silently pairing a subset. Returns the
+    common hash; with strict=False mismatches only warn (the pair
+    loaders below then intersect, mirroring the reference's
+    'Removed at least N' path before its assert)."""
+    import hashlib
+    digests = {}
+    for sub in subdirs:
+        rels = sorted(str(p.relative_to(root / sub))
+                      for p in (root / sub).glob("**/*.jpg"))
+        digests[sub] = (hashlib.sha1(",".join(rels).encode()).hexdigest(),
+                        len(rels))
+    uniq = {d for d, _ in digests.values()}
+    if len(uniq) > 1:
+        detail = ", ".join(f"{s}: {d[:12]} ({n} files)"
+                           for s, (d, n) in digests.items())
+        if strict:
+            raise SystemExit(
+                f"[metrics_eval] sample trees differ ({detail}) — "
+                "gen/gt pairing would be unverified. Re-run generation "
+                "to completion, or pass strict=false to intersect.")
+        print(f"[metrics_eval] WARNING: sample trees differ ({detail}); "
+              "proceeding on the intersection")
+        return None
+    h = uniq.pop()
+    n = next(iter(digests.values()))[1]
+    print(f"Total of {n} samples with hash: {h}")
+    return h
+
+
+def load_pairs_nuscenes(root: Path, max_samples=None, strict: bool = True):
     """Flat gen/ gt/ layout (<token>_<cam>.jpg) — the reference's
     nuScenes mode (metrics_eval.py:52-74)."""
     import cv2
+    verify_tree_hashes(root, ["gen", "gt"], strict)
     gens, gts, scenes = [], [], []
     files = sorted((root / "gen").glob("*.jpg"))
     if max_samples:
@@ -58,11 +92,12 @@ def load_pairs_nuscenes(root: Path, max_samples=None):
     return np.stack(gens), np.stack(gts), scenes
 
 
-def load_pairs(root: Path, max_samples=None):
+def load_pairs(root: Path, max_samples=None, strict: bool = True):
     """Matched (gen, gt) image arrays + per-sample cam dicts."""
     import cv2
     if not (root / "sample").exists() and (root / "gen").exists():
-        return load_pairs_nuscenes(root, max_samples)
+        return load_pairs_nuscenes(root, max_samples, strict)
+    verify_tree_hashes(root, ["sample", "sample_gt"], strict)
     gen_root, gt_root = root / "sample", root / "sample_gt"
     tokens = sorted(p.name for p in gen_root.iterdir() if p.is_dir())
     if max_samples:
@@ -96,6 +131,7 @@ def main(argv=None):
     do_consistency = args.pop("consistency", "false").lower() == "true"
     per_camera = args.pop("per_camera", "false").lower() == "true"
     max_samples = int(args.pop("max_samples", 0)) or None
+    strict = args.pop("strict", "true").lower() != "false"
     if args:
         print(f"[metrics_eval] ignoring unknown args: {sorted(args)}")
 
@@ -103,7 +139,7 @@ def main(argv=None):
     from bevgen_tpu.metrics import fid as fid_mod
     from bevgen_tpu.metrics import quality
 
-    gen, gt, scenes = load_pairs(root, max_samples)
+    gen, gt, scenes = load_pairs(root, max_samples, strict)
     print(f"{len(gen)} matched images, {len(scenes)} scenes")
 
     results = {}

@@ -207,8 +207,12 @@ def main(argv=None):
             mgr.save_step(i + 1, state.params_ae)
     if mgr is not None:
         # tag = COMPLETED steps: a preemption before the first step must
-        # not label the untrained state as step_{steps}
-        mgr.save_step(last_step, state.params_ae, force=True)
+        # not label the untrained state as step_{steps} — and at 0
+        # completed steps there is nothing worth saving at all (a
+        # step_00000000 tag would take the LATEST pointer away from any
+        # real checkpoint of a previous run)
+        if last_step > 0:
+            mgr.save_step(last_step, state.params_ae, force=True)
         mgr.wait()
     print("done")
 

@@ -76,6 +76,11 @@ def main(argv=None):
         mesh = shd.make_mesh(dp=int(dp) if dp else None, tp=tp,
                              dcn=int(dcn))
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+    if batch_size % shd.data_parallelism(mesh) != 0:
+        raise SystemExit(
+            f"batch_size={batch_size} must be divisible by the total "
+            f"data-parallel ways dcn*dp={shd.data_parallelism(mesh)} "
+            f"(mesh {dict(mesh.shape)})")
 
     model = MaskGit(tf, cfg.muse, dtype=jnp.dtype(cfg.dtype))
 

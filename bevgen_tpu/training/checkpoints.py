@@ -94,7 +94,15 @@ class CheckpointManager:
         tags = sorted(p.name for p in self.dir.iterdir()
                       if p.is_dir() and p.name.startswith("step_")
                       and not p.name.endswith("-EMA"))
-        for t in tags[:-self.keep_last]:
+        # never delete the checkpoint LATEST points to: a fresh run's
+        # low-numbered tag sorts before stale higher-numbered tags left
+        # in the dir, and pruning it would leave LATEST dangling (silent
+        # restart-from-scratch on the next resume)
+        marker = self.dir / "LATEST"
+        latest = marker.read_text().strip() if marker.exists() else None
+        doomed = [t for t in tags if t != latest][
+            :max(0, len(tags) - self.keep_last)]
+        for t in doomed:
             import shutil
             shutil.rmtree(self.dir / t, ignore_errors=True)
             # drop the -EMA sibling with its base checkpoint

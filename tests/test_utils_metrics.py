@@ -263,6 +263,35 @@ def test_metrics_eval_nuscenes_tree_parsing(tmp_path, capsys):
     assert "psnr" in out and "ssim" in out
 
 
+def test_metrics_eval_sha1_mismatch_fails(tmp_path, capsys):
+    """sha1-verified pairing (reference metrics_eval.py:52-74): a
+    partially-written tree must fail strict mode loudly and only
+    intersect under strict=false."""
+    import cv2
+    import pytest
+    from bevgen_tpu.scripts import metrics_eval
+
+    rng = np.random.default_rng(2)
+    for tree in ("gen", "gt"):
+        d = tmp_path / tree
+        d.mkdir()
+        for tok in ("tokA", "tokB"):
+            cv2.imwrite(str(d / f"{tok}_CAM_FRONT.jpg"),
+                        rng.integers(0, 255, (32, 32, 3), np.uint8))
+    # equal trees: verification passes and prints the hash
+    h = metrics_eval.verify_tree_hashes(tmp_path, ["gen", "gt"])
+    assert h and "hash" in capsys.readouterr().out
+    # corrupt: one extra file in gen only
+    cv2.imwrite(str(tmp_path / "gen" / "tokC_CAM_FRONT.jpg"),
+                rng.integers(0, 255, (32, 32, 3), np.uint8))
+    with pytest.raises(SystemExit):
+        metrics_eval.load_pairs(tmp_path)
+    # strict=false warns and pairs the intersection
+    gen, gt, _ = metrics_eval.load_pairs(tmp_path, strict=False)
+    assert len(gen) == len(gt) == 2
+    assert "WARNING" in capsys.readouterr().out
+
+
 def test_writer_flush_settles_all_futures_and_clears_queue(tmp_path):
     """A failed background write must not leave stale futures behind:
     flush() awaits everything, raises the FIRST error once, and later
