@@ -140,6 +140,11 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*(query|key|value|mlp_fc|head)/scale$", P("tp")),
     (r".*(token_emb|cond_token_emb|pos_emb|cond_pos_emb)/embedding$",
      P(None, None)),
+    # null_kv (2, heads, 1, dh) enters the attention shard_map with
+    # in_spec P(None, 'tp', None, None); storing it (and its moments —
+    # moment_pspec refines this) with the same spec keeps the forward
+    # gather-free and the backward's tp-sharded grad conflict-free
+    (r".*null_kv$", P(None, "tp", None, None)),
 )
 
 
@@ -147,14 +152,19 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def param_pspec(path, leaf) -> P:
+def _match_rule(path, leaf) -> Optional[P]:
     s = _path_str(path)
     for pat, spec in _TP_RULES:
         if re.match(pat, s) and len(spec) <= leaf.ndim:
             # only shard if the annotated dims exist & are divisible later;
             # divisibility is checked in shard_params.
             return spec
-    return P()
+    return None
+
+
+def param_pspec(path, leaf) -> P:
+    spec = _match_rule(path, leaf)
+    return spec if spec is not None else P()
 
 
 def param_shardings(params, mesh: Mesh):
@@ -181,32 +191,89 @@ def shard_params(params, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 
-def zero_pspec(leaf, dp: int = 1) -> P:
+def zero_pspec(leaf, dp: int = 1, base: Optional[P] = None) -> P:
     """Shard a moment tensor over dp along its largest dp-DIVISIBLE axis.
 
     Falling back across axes matters: e.g. a (vocab+1, d) embedding
     moment whose first axis isn't divisible still gets its second axis
     sharded instead of silently replicating both Adam moments on every
-    device (the big params are exactly where ZeRO pays)."""
+    device (the big params are exactly where ZeRO pays).
+
+    `base`: the param's TP PartitionSpec. The moment spec REFINES it —
+    tp annotations are kept and dp goes on the largest axis that is
+    still unsharded. Keeping the tp dims matters: the backward pass
+    produces tp-sharded grads for tp-sharded kernels, and a moment spec
+    that drops tp forces GSPMD to reshard dkernel dp-wise, which it can
+    only do by replicating the activations feeding the weight-grad dot
+    (observed as 'Involuntary full rematerialization' of the token/cond
+    embeddings in the 8-device dryrun)."""
     if leaf.ndim == 0:
         return P()
+    dims = [None] * leaf.ndim
+    if base is not None:
+        for i in range(min(len(base), leaf.ndim)):
+            ax = base[i]
+            if ax is not None and leaf.shape[i] % _axis_size(ax) == 0:
+                dims[i] = ax
     order = np.argsort(leaf.shape)[::-1]  # axes, largest first
     for ax in order:
-        if dp <= 1 or leaf.shape[int(ax)] % dp == 0:
-            dims = [None] * leaf.ndim
-            dims[int(ax)] = "dp"
+        ax = int(ax)
+        if dims[ax] is None and (dp <= 1 or leaf.shape[ax] % dp == 0):
+            dims[ax] = "dp"
             return P(*dims)
-    return P()
+    if all(d is None for d in dims):
+        return P()  # fully replicated: spell it canonically
+    return P(*dims)
+
+
+_MESH_AXIS_SIZES: dict = {}
+
+
+def _axis_size(ax) -> int:
+    """Size of a (possibly tuple) mesh axis name, from the mesh last
+    registered via opt_state_shardings/param_shardings (1 if unknown)."""
+    if isinstance(ax, tuple):
+        out = 1
+        for a in ax:
+            out *= _MESH_AXIS_SIZES.get(a, 1)
+        return out
+    return _MESH_AXIS_SIZES.get(ax, 1)
+
+
+def moment_pspec(path, leaf, mesh: Mesh) -> P:
+    """ZeRO spec for one optimizer-moment/EMA leaf: the param's TP spec
+    (moment paths mirror param paths, so the TP rules match) refined
+    with dp on the largest free axis.
+
+    Exception: params a rule pins FULLY REPLICATED (the embedding
+    tables — all-None spec) keep replicated moments. Their grads come
+    from scatter-adds, and forcing a dp-sharded scatter output makes
+    GSPMD replicate the whole update activation (x/context) per device
+    — the 'Involuntary full rematerialization' the dryrun used to log.
+    A few MB of replicated Adam moments is far cheaper."""
+    _MESH_AXIS_SIZES.update({k: int(v) for k, v in mesh.shape.items()})
+    if not hasattr(leaf, "ndim"):
+        return P()
+    rule = _match_rule(path, leaf)
+    if rule is not None and all(ax is None for ax in rule):
+        return P()
+    base = rule if rule is not None else P()
+    # drop tp annotations that don't divide evenly (mirrors param_shardings)
+    dims = []
+    for i in range(leaf.ndim):
+        ax = base[i] if i < len(base) else None
+        if ax is not None and leaf.shape[i] % mesh.shape[ax] != 0:
+            ax = None
+        dims.append(ax)
+    return zero_pspec(leaf, mesh.shape["dp"], base=P(*dims))
 
 
 def opt_state_shardings(opt_state, mesh: Mesh):
-    dp = mesh.shape["dp"]
-
-    def to_sharding(leaf):
+    def to_sharding(path, leaf):
         if not hasattr(leaf, "ndim"):
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, zero_pspec(leaf, dp))
-    return jax.tree_util.tree_map(to_sharding, opt_state)
+        return NamedSharding(mesh, moment_pspec(path, leaf, mesh))
+    return jax.tree_util.tree_map_with_path(to_sharding, opt_state)
 
 
 # ---------------------------------------------------------------------------
@@ -228,3 +295,24 @@ def batch_shardings(batch, mesh: Mesh):
 
 def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_shardings(batch, mesh))
+
+
+def host_shard_batch(local_batch, mesh: Mesh):
+    """Assemble a GLOBAL batch-sharded tree from each process's LOCAL
+    shard (multi-process input discipline: every host loads only its
+    `distributed.host_shard_indices` slice and never materializes the
+    global batch).
+
+    Counterpart of the reference's DistributedSampler feeding per-rank
+    DataLoaders; arrays with a leading batch dim become jax.Arrays
+    spanning the whole mesh, scalars/0-d leaves are replicated. Every
+    process must call this with its own slice — the global shape is
+    inferred from the local data and the sharding."""
+    spec = P(batch_axes(mesh))
+
+    def to_global(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), np.asarray(leaf))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+    return jax.tree_util.tree_map(to_global, local_batch)

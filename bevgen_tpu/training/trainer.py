@@ -38,7 +38,8 @@ def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
                     ema_decay: float = 0.9999,
                     skip_nonfinite: bool = True,
                     ema_every: int = 1,
-                    ema_warmup: bool = False):
+                    ema_warmup: bool = False,
+                    grad_constraint=None):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: dict with tokens (b,cam,hw) int32, cond_ids (b,nc) int32,
@@ -51,6 +52,13 @@ def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
     ema_every: set to the gradient-accumulation factor when tx is an
     optax.MultiSteps so the EMA advances once per APPLIED update, not
     per micro-batch (its decay horizon is defined in updates).
+
+    grad_constraint: optional fn(grads)->grads applied right after the
+    backward pass. make_sharded_train_step uses it to pin the grads to
+    the ZeRO moment shardings (a reduce-scatter — ZeRO-2's grad
+    placement) so the optimizer update runs fully dp-sharded instead of
+    XLA inventing a tp sharding for small grads and involuntarily
+    rematerializing the dp-sharded moments against it.
     """
     def loss_fn(variables_params, variables_rest, rng, batch):
         variables = {"params": variables_params, **variables_rest}
@@ -65,6 +73,8 @@ def make_train_step(model: MaskGit, tx: optax.GradientTransformation,
         rng = jax.random.fold_in(rng, state.step)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, rest, rng, batch)
+        if grad_constraint is not None:
+            grads = grad_constraint(grads)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -123,8 +133,23 @@ def make_sharded_train_step(model: MaskGit, tx, mesh: Mesh,
     """
     if mesh.size > 1:
         model = MaskGit(model.cfg, model.muse, model.dtype, mesh=mesh)
+    # pin grads to the ZeRO moment shardings (ZeRO-2's reduce-scattered
+    # grad placement): without this XLA is free to leave small grads
+    # tp-sharded from the backward pass, and the dp-sharded Adam moments
+    # then reshard against them via involuntary full rematerialization
+    # (observed on cond_pos_emb/bev_cam_pos_emb in the 8-device dryrun)
+    grad_sh = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, shd.moment_pspec(path, leaf, mesh)),
+        state.params["params"])
+
+    def grad_constraint(grads):
+        return jax.lax.with_sharding_constraint(grads, grad_sh)
+
     step_fn = make_train_step(model, tx, ema_decay, ema_every=ema_every,
-                              ema_warmup=ema_warmup)
+                              ema_warmup=ema_warmup,
+                              grad_constraint=(grad_constraint
+                                               if mesh.size > 1 else None))
 
     param_sh = shd.param_shardings(state.params, mesh)
     opt_sh = shd.opt_state_shardings(state.opt_state, mesh)

@@ -102,19 +102,30 @@ def test_multislice_train_step_matches_flat_dp():
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
 
 
-def test_multislice_train_step_with_tp():
+def test_multislice_train_step_with_tp(capfd):
     """Full 3-axis (dcn=2, dp=2, tp=2) mesh over all 8 virtual devices:
     the shard_map attention cores + ZeRO moment sharding compile and
-    produce a finite loss."""
+    produce a finite loss — and the SPMD partitioner must not fall back
+    to 'Involuntary full rematerialization' anywhere (every such
+    fallback is a per-step all-gather of a resharded tensor; grads are
+    pinned to the moment shardings and scatter-fed embedding tables
+    keep replicated moments precisely to avoid them)."""
     from bevgen_tpu.training import trainer
 
     mesh = shd.make_mesh(dp=2, tp=2, dcn=2)
     model, tx, state, batch = _tiny_train_setup()
     step_fn, state = trainer.make_sharded_train_step(model, tx, mesh, state)
+    capfd.readouterr()  # drop anything earlier tests left on the fds
     with mesh:
         sharded = shd.shard_batch(batch, mesh)
         state, metrics = step_fn(state, sharded, jax.random.PRNGKey(1))
-    assert np.isfinite(float(metrics["loss"]))
+        loss = float(metrics["loss"])
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, (
+        "SPMD partitioner rematerialization warning during the sharded "
+        "train-step compile:\n" +
+        "\n".join(l for l in err.splitlines() if "Involuntary" in l))
+    assert np.isfinite(loss)
     assert float(metrics["update_applied"]) == 1.0
 
 
