@@ -494,16 +494,40 @@ def verify_tree_match(converted, expected) -> Tuple[List[str], List[str]]:
     return missing, unexpected + mismatched
 
 
-def save_checkpoint(path: str, tree, step: Optional[int] = None):
+def _make_checkpointer():
+    """Single-process: plain PyTreeCheckpointer. Multi-process: a
+    checkpointer whose barrier set is ONLY the calling process.
+
+    orbax's Checkpointer.save runs a sync_global_processes barrier over
+    its active process set — designed for every host calling save
+    together. This framework's discipline is rank-0-only writes of
+    host-resident numpy trees (training/checkpoints.py), and a rank-0-
+    only call into an all-hosts barrier deadlocks until the
+    coordination-service shutdown timeout kills the job (observed live
+    in tests/test_distributed_multiprocess.py, round 3). Scoping
+    active_processes/primary_host to the caller makes the save a true
+    single-writer local write."""
+    import jax
     import orbax.checkpoint as ocp
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, tree)
+    if jax.process_count() > 1:
+        mp = ocp.options.MultiprocessingOptions(
+            primary_host=jax.process_index(),
+            active_processes={jax.process_index()},
+            barrier_sync_key_prefix=f"p{jax.process_index()}")
+        # the handler keeps its own barrier set — scope both, or its
+        # internal syncs still span all hosts
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(multiprocessing_options=mp),
+            multiprocessing_options=mp)
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, tree, step: Optional[int] = None):
+    _make_checkpointer().save(path, tree)
 
 
 def restore_checkpoint(path: str, example=None):
-    import orbax.checkpoint as ocp
-    ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(path, item=example)
+    return _make_checkpointer().restore(path, item=example)
 
 
 def load_npz_tree(npz_path, missing_ok: bool = False):

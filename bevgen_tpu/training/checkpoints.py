@@ -73,8 +73,23 @@ class CheckpointManager:
             fut, self._pending = self._pending, None
             fut.result()
 
+    @staticmethod
+    def _is_writer() -> bool:
+        """Rank-0-only write discipline, centralized: in a multi-process
+        job every process may CALL save_* (trainers are rank-agnostic),
+        but only process 0 acts. The orbax layer underneath is single-
+        writer-scoped (core/checkpoint._make_checkpointer), so the
+        non-writers must return before touching the filesystem — a
+        per-process wall-clock skew must also never let two processes
+        disagree about whether a save happened (only rank 0's clock is
+        ever consulted)."""
+        import jax
+        return jax.process_index() == 0
+
     def save_step(self, step: int, state: Any, force: bool = False):
         """Wall-clock-interval save (the 30-min ModelCheckpoint)."""
+        if not self._is_writer():
+            return False
         now = time.monotonic()
         if force or (now - self._last_save) >= self.interval_s:
             self._save(f"step_{step:08d}", state, prune=True)
@@ -83,9 +98,13 @@ class CheckpointManager:
         return False
 
     def save_epoch(self, epoch: int, state: Any):
+        if not self._is_writer():
+            return
         self._save(f"epoch_{epoch:04d}", state, prune=True)
 
     def save_ema(self, step: int, ema_params: Any):
+        if not self._is_writer():
+            return
         # EMA variants never own the resume pointer (LATEST must stay a
         # full params tree)
         self._save(f"step_{step:08d}-EMA", ema_params, update_latest=False)
