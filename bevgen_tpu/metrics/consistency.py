@@ -6,14 +6,22 @@ adjacent-edge windows of neighboring cameras and compare summed match
 confidence between GT and generated imagery (+ MAGSAC fundamental-
 matrix inlier counting in the argo variant).
 
-The reference uses kornia LoFTR (GPU model, not available here); this
-implementation uses OpenCV SIFT + Lowe ratio test + USAC_MAGSAC —
-a self-contained classical pipeline measuring the same quantity:
-whether adjacent cameras agree in their overlap region.
+The reference uses kornia LoFTR. Two matchers are available here:
+
+  * LoFTR (metrics/loftr.py — flax port of the same architecture):
+    engaged automatically when converted weights exist, making the
+    numbers comparable to the paper's tables. Point
+    ``BEVGEN_LOFTR_WEIGHTS`` at the npz produced by
+    ``loftr.convert_loftr_weights`` (zero egress in this image — the
+    converter + self-check are gated-but-runnable).
+  * SIFT + Lowe ratio test + USAC_MAGSAC: the weight-less classical
+    fallback measuring the same quantity — whether adjacent cameras
+    agree in their overlap region.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -43,8 +51,64 @@ def edge_windows(left_img: np.ndarray, right_img: np.ndarray,
     return left_img[:, -edge_px:], right_img[:, :edge_px]
 
 
+_LOFTR_MATCHER = None
+
+
+def get_matcher() -> Optional[Callable]:
+    """The LoFTR matcher when weights are available, else None (SIFT).
+
+    Weights come from ``BEVGEN_LOFTR_WEIGHTS`` (npz path). Cached —
+    the backbone+transformer jit is paid once per strip shape."""
+    global _LOFTR_MATCHER
+    if _LOFTR_MATCHER is not None:
+        return _LOFTR_MATCHER or None
+    path = os.environ.get("BEVGEN_LOFTR_WEIGHTS", "")
+    if path and os.path.exists(path):
+        from bevgen_tpu.metrics.loftr import LoFTRMatcher
+        _LOFTR_MATCHER = LoFTRMatcher.from_npz(path)
+        return _LOFTR_MATCHER
+    _LOFTR_MATCHER = False  # resolved: no weights
+    return None
+
+
+def match_strips_loftr(a01: np.ndarray, b01: np.ndarray,
+                       matcher: Callable) -> Dict[str, float]:
+    """LoFTR matches between two overlap strips — the reference's
+    protocol verbatim (metrics_consistency_sift.py:151-168): run the
+    matcher on the grayscale windows, report match count and summed
+    dual-softmax confidence; inliers via the same MAGSAC fundamental-
+    matrix check the argo variant applies."""
+    import cv2
+    ga = _to_gray_u8(a01).astype(np.float32) / 255.0
+    gb = _to_gray_u8(b01).astype(np.float32) / 255.0
+    out = matcher(ga, gb)
+    conf = out["confidence"]
+    inliers = 0.0
+    if len(conf) >= 8:
+        try:
+            _, mask = cv2.findFundamentalMat(
+                out["keypoints0"], out["keypoints1"], cv2.USAC_MAGSAC,
+                1.0, 0.999, 10000)
+            inliers = float(mask.sum()) if mask is not None else 0.0
+        except Exception:
+            inliers = 0.0
+    return {"num_matches": float(len(conf)),
+            "confidence": float(conf.sum()), "inliers": inliers}
+
+
 def match_strips(a01: np.ndarray, b01: np.ndarray,
-                 ratio: float = 0.75) -> Dict[str, float]:
+                 ratio: float = 0.75,
+                 matcher: Optional[Callable] = None) -> Dict[str, float]:
+    """Match two overlap strips: LoFTR when weights are present (see
+    get_matcher), else SIFT + Lowe + MAGSAC."""
+    matcher = matcher if matcher is not None else get_matcher()
+    if matcher is not None:
+        return match_strips_loftr(a01, b01, matcher)
+    return match_strips_sift(a01, b01, ratio)
+
+
+def match_strips_sift(a01: np.ndarray, b01: np.ndarray,
+                      ratio: float = 0.75) -> Dict[str, float]:
     """SIFT matches + MAGSAC inliers between two overlap strips."""
     import cv2
     ga, gb = _to_gray_u8(a01), _to_gray_u8(b01)
