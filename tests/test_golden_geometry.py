@@ -11,6 +11,8 @@ from bevgen_tpu.models import geometry
 from bevgen_tpu.models.stage2.transformer import MultiViewTransformer
 
 torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.slow  # executes the torch reference (minutes of CPU)
+
 
 
 def cfg_small(**kw):

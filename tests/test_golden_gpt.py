@@ -13,6 +13,8 @@ from bevgen_tpu.models import geometry, masks
 from bevgen_tpu.models.stage2.gpt import SparseGPT
 
 torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.slow  # executes the torch reference (minutes of CPU)
+
 import torch.nn.functional as F  # noqa: E402
 
 

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.slow  # executes the torch reference (minutes of CPU)
+
 
 import ref_harness as rh  # noqa: E402
 

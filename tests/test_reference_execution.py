@@ -16,6 +16,8 @@ from bevgen_tpu.core import checkpoint as ckpt
 from bevgen_tpu.models import geometry, masks
 
 torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.slow  # executes the torch reference (minutes of CPU)
+
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

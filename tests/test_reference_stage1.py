@@ -14,6 +14,8 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.slow  # executes the torch reference (minutes of CPU)
+
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
