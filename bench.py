@@ -89,6 +89,114 @@ def measure(pipe, params, cfg, batch_size, reps, no_critic):
     return (n_images / statistics.median(times), n_images / min(times))
 
 
+def measure_ar(reps):
+    """AR-path rows (VERDICT r2 item 4): the full AR pipeline on chip
+    (BEV encode -> KV-cached sparse decode -> VQ pixel decode) at the
+    TPU-native 128-block preset, plus the train-step where the Pallas
+    block-sparse kernel engages, with kernel-vs-dense attribution at
+    the exact (B, H, L, D) attention shapes.
+
+    Reference anchors: sparse_self_attention.py:64-85 (the kernel this
+    path replaces) and scripts/inference.py:170-179 (the density-sweep
+    fwd+bwd micro-benchmarks that are the only published numbers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bevgen_tpu.core.config import nuscenes_ar_tpu_config
+    from bevgen_tpu.data.fake import fake_batch
+    from bevgen_tpu.models import geometry, masks
+    from bevgen_tpu.models.stage2 import ar as ar_mod
+    from bevgen_tpu.ops.attention import make_sparse_attention
+    from bevgen_tpu.pipelines.ar_generate import ARPipeline
+
+    cfg = nuscenes_ar_tpu_config()
+    tf = cfg.transformer
+    out = {}
+
+    # --- the kernel must actually engage on this preset's layouts ----
+    sm = masks.sparse_masks(tf)
+    attn_kernel = make_sparse_attention(sm.layouts, sm.allowed,
+                                        block=tf.sparse_block_size,
+                                        num_cond_tokens=tf.num_cond_tokens,
+                                        num_pad_tokens=tf.num_pad_tokens)
+    assert attn_kernel.pallas_ok, (
+        "nuscenes_ar_tpu layout fell back to dense — AR bench rows "
+        "would not measure the Pallas block-sparse kernel")
+
+    def timed(run_sync, n):
+        times = []
+        run_sync(); run_sync()  # compile + remote-exec init
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run_sync()
+            times.append(time.perf_counter() - t0)
+        import statistics
+        return statistics.median(times)
+
+    # --- end-to-end AR serving (KV-cached decode applies the same
+    # block layouts as per-row masks; the kernel runs in training and
+    # full-forward paths where scores are matrix-shaped) -------------
+    b = int(os.environ.get("BENCH_AR_BATCH", "2"))
+    pipe = ARPipeline.create(cfg, dtype=jnp.bfloat16)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    batch = fake_batch(cfg, batch_size=b)
+    seg = jnp.asarray(batch["segmentation"])
+    ii = jnp.asarray(batch["intrinsics_inv"])
+    ei = jnp.asarray(batch["extrinsics_inv"])
+    gen = jax.jit(lambda p, s, i1, i2, r: pipe.generate_fn(p, s, i1, i2, r))
+
+    kr = iter(jax.random.split(jax.random.PRNGKey(7), 64))
+
+    def run_gen():
+        imgs, ids = gen(params, seg, ii, ei, next(kr))
+        np.asarray(ids[0, 0])
+    dt = timed(run_gen, max(2, min(reps, 3)))
+    out["ar_img_per_s"] = round(b * tf.num_cams / dt, 3)
+
+    # --- train step (fwd+bwd) with the kernel active ------------------
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(
+        0, tf.vocab_size, (4, tf.num_cams, tf.num_cam_tokens)), jnp.int32)
+    cond = jnp.asarray(rng.integers(
+        0, tf.cond_vocab_size, (4, tf.num_cond_tokens)), jnp.int32)
+    ii4, ei4 = geometry.canonical_rig_inverses(tf, 4)
+    from bevgen_tpu.models.stage2.gpt import SparseGPT
+    gpt = SparseGPT(tf, dtype=jnp.bfloat16)
+    gparams = gpt.init(jax.random.PRNGKey(0), tokens, cond,
+                       jnp.asarray(ii4), jnp.asarray(ei4))
+    grad_fn = jax.jit(jax.grad(lambda p, t: ar_mod.ar_loss(
+        gpt, p, t, cond, jnp.asarray(ii4), jnp.asarray(ei4),
+        deterministic=True)))
+
+    def run_train():
+        g = grad_fn(gparams, tokens)
+        np.asarray(jax.tree_util.tree_leaves(g)[0]).ravel()[0]
+    out["ar_train_step_ms_b4"] = round(
+        timed(run_train, max(2, min(reps, 3))) * 1e3, 1)
+
+    # --- kernel-vs-dense attribution at the real attention shapes ----
+    L = tf.gpt_block_size
+    B, H, D = 4, tf.num_heads, tf.hidden_size // tf.num_heads
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.bfloat16)
+    attn_dense = make_sparse_attention(sm.layouts, sm.allowed,
+                                       block=tf.sparse_block_size,
+                                       use_pallas=False,
+                                       num_cond_tokens=tf.num_cond_tokens,
+                                       num_pad_tokens=tf.num_pad_tokens)
+    for name, fn in (("kernel", attn_kernel), ("dense", attn_dense)):
+        chain = jax.jit(lambda x, fn=fn: jax.lax.scan(
+            lambda c, _: (fn(c, k, v).astype(x.dtype), None),
+            x, None, length=8)[0])
+
+        def run_attn():
+            np.asarray(chain(q).ravel()[0])
+        out[f"ar_attn_{name}_ms"] = round(
+            timed(run_attn, max(2, min(reps, 3))) / 8 * 1e3, 2)
+    return out
+
+
 def main():
     import jax.numpy as jnp
     import jax
@@ -134,6 +242,11 @@ def main():
             q8, _ = measure(qpipe, qparams, cfg, headline_batch, reps,
                             False)
             extra["int8"] = round(q8, 3)
+
+    if os.environ.get("BENCH_SKIP_AR", "0") != "1" and not quant \
+            and not no_critic:
+        # AR-path rows (block-sparse kernel engaged) — see measure_ar
+        extra.update(measure_ar(reps))
 
     mode = ("confidence re-mask" if no_critic else "self-critic")
     dtype_s = "int8" if quant else "bf16"

@@ -129,4 +129,8 @@ def make_sparse_attention(layout: np.ndarray, allowed: np.ndarray,
             return attn(q, k, v, bias)
         return dense(q, k, v, bias)
 
+    # introspection for benchmarks/tests: does THIS layout take the
+    # Pallas kernel on TPU? (bench.py asserts the AR row actually
+    # exercises the kernel rather than the dense fallback)
+    dispatch.pallas_ok = bool(pallas_ok)
     return dispatch

@@ -385,15 +385,453 @@ def _qknorm_kernel(keep_ref, q_ref, k_ref, v_ref, null_ref, scale_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _qknorm_kernel_fb(keep_ref, q_ref, k_ref, v_ref, null_ref,
+                      scale_ref, bias_ref, rb_ref, o_ref,
+                      *, groups_per_batch: int):
+    """Fixed-bound softmax cosine kernel — the VPU-minimal variant.
+
+    Same math as _qknorm_kernel, but softmax normalization uses a
+    PRECOMPUTED per-row upper bound instead of the in-kernel running
+    max: every term is exp(s - rowbound) with
+    rowbound[n] >= max_m(s[n, m]) by construction
+    (sm_scale * max_d|q_scale_d * k_scale_d| bounds the cosine term —
+    Cauchy-Schwarz on unit vectors — plus the bias row max, computed
+    once per call in XLA). Uniform scaling cancels exactly in the
+    out = acc / denom division, and fp32 cannot underflow at the bound
+    gap this model can produce (<= ~40 -> e >= 1e-18), so the kernel is
+    numerically the same attention.
+
+    What that buys on the VPU (the measured bottleneck at batch 16 —
+    the strip kernel spends ~10 elementwise passes over the
+    B*H*N*M-element score strip): the scale-mul is folded into q_scale,
+    the padding/CFG masking into the precomputed bias strip (padded
+    columns carry NEG_INF; the CFG keep flag becomes one scalar add),
+    and the max-reduce/renormalize disappear. Remaining passes:
+    add(bias), add(keep scalar), exp, sum-reduce, cast — ~5.
+
+    bias_ref: (1, T, Mp) strip ALREADY holding bias - rowbound with
+    NEG_INF padding columns; rb_ref: (1, T) rowbound for the null
+    column's exp; scale_ref[0] = q_scale * sm_scale."""
+    b = pl.program_id(0) // groups_per_batch
+
+    qsc = scale_ref[0].astype(jnp.float32)               # (D,) * sm_scale
+    q = (_l2n(q_ref[0].astype(jnp.float32)) * qsc).astype(o_ref.dtype)
+    nk = null_ref[0, :, 0:1].astype(o_ref.dtype)         # (hg, 1, D) normed
+    nv = null_ref[0, :, 1:2].astype(jnp.float32)         # (hg, 1, D)
+
+    # (keep - 1) * 1e9: 0 for kept rows, -1e9 on every REAL column of
+    # dropped-cond rows (padded columns are already -1e9; the null
+    # column never sees it)
+    ka = (keep_ref[b].astype(jnp.float32) - 1.0) * 1e9
+
+    s = jax.lax.dot_general(q, k_ref[0], (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    e = jnp.exp(s + (bias_ref[0][None] + ka))            # (hg, T, Mp)
+
+    s_null = jax.lax.dot_general(q, nk, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    e_null = jnp.exp(s_null - rb_ref[0][None])           # (hg, T, 1)
+
+    denom = jnp.sum(e, axis=-1, keepdims=True) + e_null
+    out = jax.lax.dot_general(e.astype(v_ref.dtype), v_ref[0],
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = ((out + e_null * nv) / denom).astype(o_ref.dtype)
+
+
+LOG2E = 1.4426950408889634
+
+
+def _qknorm_kernel_fb2(keep_ref, q_ref, k_ref, v_ref, null_ref,
+                       scale_ref, bias_ref, rb_ref, o_ref,
+                       *, d_model: int, groups_per_batch: int):
+    """fb variant with the two remaining heavy strip passes moved off
+    the VPU:
+
+    * exp -> exp2: log2(e) is folded into the q-side scales and the
+      precomputed bias strip host-side, so the kernel's transcendental
+      is a bare exp2 with no multiply pass over the (hg, T, Mp) strip.
+    * the softmax denominator comes out of the MXU instead of a
+      cross-lane VPU sum-reduce: V arrives with a ones-column appended
+      at index D (lane width 2D), so e @ [V | 1] yields AV and the
+      per-row sum in ONE dot — the AV output at D=64 fills half the
+      128 MXU lanes, so widening to 2D=128 is free on the MXU.
+
+    Remaining strip passes: add(bias) + add(keep scalar) + exp2 +
+    cast — the minimum this softmax can express.
+
+    Numerics: identical attention up to summation order; on bf16
+    inputs the denominator picks up bf16-term rounding (~2^-9
+    relative), the same order as the AV numerator already has. With
+    fp32 v (tests/interpret) both stay fp32-exact."""
+    b = pl.program_id(0) // groups_per_batch
+
+    qsc = scale_ref[0].astype(jnp.float32)    # q_scale * sm_scale * LOG2E
+    q = (_l2n(q_ref[0].astype(jnp.float32)) * qsc).astype(o_ref.dtype)
+    nk = null_ref[0, :, 0:1].astype(o_ref.dtype)         # (hg, 1, D) normed
+    nv = null_ref[0, :, 1:2].astype(jnp.float32)         # (hg, 1, D)
+
+    # (keep - 1) * 1e9: 0 for kept rows, -1e9 on every REAL column of
+    # dropped-cond rows (padding columns already carry NEG_INF)
+    ka = (keep_ref[b].astype(jnp.float32) - 1.0) * 1e9
+
+    s = jax.lax.dot_general(q, k_ref[0], (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    e = jnp.exp2(s + (bias_ref[0][None] + ka))           # (hg, T, Mp)
+
+    s_null = jax.lax.dot_general(q, nk, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    e_null = jnp.exp2(s_null - rb_ref[0][None])          # (hg, T, 1)
+
+    ov = jax.lax.dot_general(e.astype(v_ref.dtype), v_ref[0],
+                             (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    num = ov[..., :d_model] + e_null * nv
+    den = ov[..., d_model:d_model + 1] + e_null
+    o_ref[0] = (num / den).astype(o_ref.dtype)
+
+
+def _auto_head_group_fb2(H: int, tile_q: int, Mp: int, D: int,
+                         requested: int, budget_bytes: int = 15 << 20) -> int:
+    """VMEM-budgeted head group for fb2: score strip fp32 + bf16 copy
+    for the AV dot, double-buffered K (D wide) and Vext (2D wide)."""
+    per_head = (tile_q * Mp * (4 + 2)        # e fp32 + bf16 cast
+                + 2 * Mp * D * 2             # K, double-buffered
+                + 2 * Mp * 2 * D * 2)        # Vext (2D wide), dbl-buffered
+    fixed = tile_q * Mp * 4 * 2              # bias strip, double-buffered
+    hg = math.gcd(requested, H)
+    while hg > 1 and hg * per_head + fixed > budget_bytes:
+        hg //= 2
+    return max(hg, 1)
+
+
+def fused_cosine_attention_fwd_fb2(q, k, v, null_kv, q_scale, k_scale,
+                                   bias=None, keep=None,
+                                   sm_scale: float = 8.0,
+                                   tile: int = 128, head_group: int = 8,
+                                   tile_q: int = 128,
+                                   interpret: bool = False):
+    """exp2 + MXU-denominator fixed-bound cosine attention (see
+    _qknorm_kernel_fb2). Same contract as the other cosine forwards."""
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    Np = math.ceil(N / tile_q) * tile_q
+    Mp = math.ceil(M / tile) * tile
+    nq = Np // tile_q
+    hg = _auto_head_group_fb2(H, tile_q, Mp, D, head_group)
+    G = H // hg
+
+    def regroup(x, L_, W):
+        return x.reshape(B * G, hg, L_, W)
+
+    def l2n_scaled(t, sc):
+        n = jnp.sqrt(jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
+                             keepdims=True))
+        return (t.astype(jnp.float32) / jnp.maximum(n, 1e-12)) * sc
+
+    qsf = jnp.asarray(q_scale, jnp.float32)
+    ksf = jnp.asarray(k_scale, jnp.float32)
+    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    qp = regroup(_pad_to(q, Np, 2), Np, D)
+    kp = regroup(_pad_to(kf, Mp, 2), Mp, D)
+    # V with the denominator ones-column at index D (zeros beyond, so
+    # generic D keeps a 2D-wide lane layout)
+    vext = jnp.concatenate(
+        [v.astype(jnp.float32),
+         jnp.ones(v.shape[:-1] + (1,), jnp.float32),
+         jnp.zeros(v.shape[:-1] + (D - 1,), jnp.float32)],
+        axis=-1).astype(v.dtype)
+    vp = regroup(_pad_to(vext, Mp, 2), Mp, 2 * D)
+    nkv = jnp.asarray(null_kv, jnp.float32)
+    nkv = jnp.stack([l2n_scaled(nkv[0], ksf), nkv[1]])
+    nkv = nkv.reshape(2, G, hg, D).transpose(1, 2, 0, 3)  # (G, hg, 2, D)
+    # sm_scale AND log2(e) folded into the q-side scales: the kernel's
+    # scores and bias are in log2 units, its transcendental a bare exp2
+    scales = jnp.stack([qsf * sm_scale * LOG2E, ksf])     # (2, D)
+
+    cos_bound = sm_scale * jnp.max(jnp.abs(qsf * ksf))
+    bias_f = (jnp.zeros((N, M), jnp.float32) if bias is None
+              else jnp.asarray(bias, jnp.float32))
+    rowbound = cos_bound + jnp.maximum(jnp.max(bias_f, axis=1), 0.0)  # (N,)
+    biasfb = (bias_f - rowbound[:, None]) * LOG2E
+    biasfb = jnp.pad(biasfb, ((0, Np - N), (0, Mp - M)),
+                     constant_values=NEG_INF)[None]       # (1, Np, Mp)
+    rbp = _pad_to(rowbound[None] * LOG2E, Np, 1)[..., None]  # (1, Np, 1)
+    keep_arr = (jnp.ones((B,), jnp.int32) if keep is None
+                else jnp.asarray(keep).astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * G, nq),
+        in_specs=[
+            pl.BlockSpec((1, hg, tile_q, D), lambda g, qi, kk: (g, 0, qi, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, Mp, 2 * D),
+                         lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, 2, D),
+                         lambda g, qi, kk, G=G: (g % G, 0, 0, 0)),
+            pl.BlockSpec((2, D), lambda g, qi, kk: (0, 0)),
+            pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, qi, 0)),
+            pl.BlockSpec((1, tile_q, 1), lambda g, qi, kk: (0, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hg, tile_q, D),
+                               lambda g, qi, kk: (g, 0, qi, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_qknorm_kernel_fb2, d_model=D, groups_per_batch=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * G, hg, Np, D), q.dtype),
+        interpret=interpret,
+    )(keep_arr, qp, kp, vp, nkv, scales, biasfb, rbp)
+    return out.reshape(B, H, Np, D)[:, :, :N]
+
+
+def fused_cosine_attention_fwd_fb(q, k, v, null_kv, q_scale, k_scale,
+                                  bias=None, keep=None,
+                                  sm_scale: float = 8.0,
+                                  tile: int = 128, head_group: int = 8,
+                                  tile_q: int = 128,
+                                  interpret: bool = False):
+    """Fixed-bound-softmax cosine attention (see _qknorm_kernel_fb).
+    Same contract as fused_cosine_attention_fwd_strip."""
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    Np = math.ceil(N / tile_q) * tile_q
+    Mp = math.ceil(M / tile) * tile
+    nq = Np // tile_q
+    hg = _auto_head_group(H, tile_q, Mp, D, head_group)
+    G = H // hg
+
+    def regroup(x, L_):
+        return x.reshape(B * G, hg, L_, D)
+
+    def l2n_scaled(t, sc):
+        n = jnp.sqrt(jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
+                             keepdims=True))
+        return (t.astype(jnp.float32) / jnp.maximum(n, 1e-12)) * sc
+
+    qsf = jnp.asarray(q_scale, jnp.float32)
+    ksf = jnp.asarray(k_scale, jnp.float32)
+    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    qp = regroup(_pad_to(q, Np, 2), Np)
+    kp = regroup(_pad_to(kf, Mp, 2), Mp)
+    vp = regroup(_pad_to(v, Mp, 2), Mp)
+    nkv = jnp.asarray(null_kv, jnp.float32)
+    nkv = jnp.stack([l2n_scaled(nkv[0], ksf), nkv[1]])
+    nkv = nkv.reshape(2, G, hg, D).transpose(1, 2, 0, 3)  # (G, hg, 2, D)
+    # sm_scale folded into the q-side scales (one fewer strip pass)
+    scales = jnp.stack([qsf * sm_scale, ksf])             # (2, D)
+
+    # rowbound[n] >= every score in row n INCLUDING the null column
+    # (whose bias is 0): the cosine term bound + the nonneg bias max
+    cos_bound = sm_scale * jnp.max(jnp.abs(qsf * ksf))
+    bias_f = (jnp.zeros((N, M), jnp.float32) if bias is None
+              else jnp.asarray(bias, jnp.float32))
+    rowbound = cos_bound + jnp.maximum(jnp.max(bias_f, axis=1), 0.0)  # (N,)
+    biasfb = bias_f - rowbound[:, None]
+    biasfb = jnp.pad(biasfb, ((0, Np - N), (0, Mp - M)),
+                     constant_values=NEG_INF)[None]       # (1, Np, Mp)
+    rbp = _pad_to(rowbound[None], Np, 1)[..., None]       # (1, Np, 1)
+    keep_arr = (jnp.ones((B,), jnp.int32) if keep is None
+                else jnp.asarray(keep).astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * G, nq),
+        in_specs=[
+            pl.BlockSpec((1, hg, tile_q, D), lambda g, qi, kk: (g, 0, qi, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, 2, D),
+                         lambda g, qi, kk, G=G: (g % G, 0, 0, 0)),
+            pl.BlockSpec((2, D), lambda g, qi, kk: (0, 0)),
+            pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, qi, 0)),
+            pl.BlockSpec((1, tile_q, 1), lambda g, qi, kk: (0, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hg, tile_q, D),
+                               lambda g, qi, kk: (g, 0, qi, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_qknorm_kernel_fb, groups_per_batch=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * G, hg, Np, D), q.dtype),
+        interpret=interpret,
+    )(keep_arr, qp, kp, vp, nkv, scales, biasfb, rbp)
+    return out.reshape(B, H, Np, D)[:, :, :N]
+
+
+def _qknorm_kernel_chunked(keep_ref, q_ref, k_ref, v_ref, null_ref,
+                           scale_ref, bias_ref, o_ref,
+                           *, sm_scale: float, m_real: int, has_bias: bool,
+                           groups_per_batch: int, chunk: int):
+    """Cosine attention with an in-VMEM chunked (running-max) softmax.
+
+    Same math as _qknorm_kernel, but the (hg, T, Mp) fp32 score strip is
+    never materialized: K/V stay VMEM-resident for the whole grid row
+    and the softmax runs over `chunk`-column slices with the standard
+    online max/denominator/accumulator recurrence (exact — each term
+    ends up exp(s - m_final) either way). Shrinking the transient from
+    O(Mp) to O(chunk) is what lets the head group DOUBLE (4 -> 8 at
+    decode shapes), which halves the kernel's dominant HBM cost: the
+    shared bias strip is re-fetched once per (batch, group), so its
+    traffic is B * G * N * M * 4 bytes (measured 880 MB -> 440 MB per
+    batch-16 layer call, the round-2 batch-scaling regression).
+
+    The null column (muse_maskgit_pytorch.py:150-156) is the INITIAL
+    state of the recurrence: m0 = s_null, l0 = 1, acc0 = null_v."""
+    b = pl.program_id(0) // groups_per_batch
+    hg, T, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    mp = k_ref.shape[2]
+    nchunks = mp // chunk
+
+    qsc = scale_ref[0].astype(jnp.float32)               # (D,)
+    q = (_l2n(q_ref[0].astype(jnp.float32)) * qsc).astype(o_ref.dtype)
+    nk = null_ref[0, :, 0:1].astype(o_ref.dtype)         # (hg, 1, D) normed
+    nv = null_ref[0, :, 1:2].astype(jnp.float32)         # (hg, 1, D)
+
+    s_null = jax.lax.dot_general(q, nk, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    m0 = s_null[..., 0] * sm_scale                       # (hg, T)
+    l0 = jnp.ones((hg, T), jnp.float32)
+    acc0 = jnp.broadcast_to(nv, (hg, T, D)).astype(jnp.float32)
+
+    keep_b = keep_ref[b]
+
+    def step(i, carry):
+        m, l, acc = carry
+        off = i * chunk
+        kc = k_ref[0, :, pl.ds(off, chunk), :]           # (hg, chunk, D)
+        vc = v_ref[0, :, pl.ds(off, chunk), :]
+        s = jax.lax.dot_general(q, kc, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale                                 # (hg, T, chunk)
+        if has_bias:
+            s = s + bias_ref[0, :, pl.ds(off, chunk)][None]
+        col = off + jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
+        valid = (col < m_real) & (keep_b > 0)
+        s = jnp.where(valid, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))      # (hg, T)
+        alpha = jnp.exp(m - m_new)
+        e = jnp.exp(s - m_new[..., None])
+        l = l * alpha + jnp.sum(e, axis=-1)
+        av = jax.lax.dot_general(e.astype(v_ref.dtype), vc,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        acc = acc * alpha[..., None] + av
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, nchunks, step, (m0, l0, acc0))
+    o_ref[0] = (acc / l[..., None]).astype(o_ref.dtype)
+
+
+def _auto_head_group_chunked(H: int, tile_q: int, Mp: int, D: int,
+                             requested: int, chunk: int,
+                             budget_bytes: int = 15 << 20) -> int:
+    """Largest head group (divisor of H, <= requested) for the chunked
+    kernel: double-buffered resident K/V bf16 + chunk-sized fp32 score
+    transients + fp32 accumulator, plus the double-buffered bias strip."""
+    per_head = (2 * Mp * D * 2 * 2            # K/V, double-buffered
+                + 2 * tile_q * chunk * 4      # s/e chunk transients
+                + tile_q * D * 4              # accumulator
+                + tile_q * D * 2 * 2)         # q (raw block + normed)
+    fixed = tile_q * Mp * 4 * 2               # bias strip (double-buffered)
+    hg = math.gcd(requested, H)
+    while hg > 1 and hg * per_head + fixed > budget_bytes:
+        hg //= 2
+    return max(hg, 1)
+
+
 def fused_cosine_attention_fwd(q, k, v, null_kv, q_scale, k_scale,
                                bias=None, keep=None, sm_scale: float = 8.0,
                                tile: int = 128, head_group: int = 8,
-                               tile_q: int = 128, interpret: bool = False):
+                               tile_q: int = 128, interpret: bool = False,
+                               chunk: int = 256):
     """q: (B, H, N, D) RAW (pre-norm); k, v: (B, H, M, D) RAW without the
     null column; null_kv: (2, H, 1, D); q_scale/k_scale: (D,);
     bias: (N, M) or None; keep: (B,) or None. Returns (B, H, N, D) in
     q.dtype — numerically the cosine attention of
-    models/stage2/transformer.py with the null KV at column 0."""
+    models/stage2/transformer.py with the null KV at column 0.
+
+    Runs the chunked-softmax kernel (_qknorm_kernel_chunked); the
+    strip-materializing original is kept as
+    fused_cosine_attention_fwd_strip for A/B measurement."""
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    Np = math.ceil(N / tile_q) * tile_q
+    Mp = math.ceil(M / tile) * tile
+    # the kv chunk must DIVIDE Mp — padding Mp up to a chunk multiple
+    # instead costs real HBM+FLOPs (1792 -> 2048 at chunk=512, measured
+    # VMEM OOM at B=16). Largest 128-multiple divisor <= requested:
+    chunk = max(c for c in range(tile, min(chunk, Mp) + 1, tile)
+                if Mp % c == 0)
+    nq = Np // tile_q
+    hg = _auto_head_group_chunked(H, tile_q, Mp, D, head_group, chunk)
+    G = H // hg
+
+    def regroup(x, L_):
+        return x.reshape(B * G, hg, L_, D)
+
+    def l2n_scaled(t, sc):
+        n = jnp.sqrt(jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
+                             keepdims=True))
+        return (t.astype(jnp.float32) / jnp.maximum(n, 1e-12)) * sc
+
+    ksf = jnp.asarray(k_scale, jnp.float32)
+    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    qp = regroup(_pad_to(q, Np, 2), Np)
+    kp = regroup(_pad_to(kf, Mp, 2), Mp)
+    vp = regroup(_pad_to(v, Mp, 2), Mp)
+    # (2, H, 1, D) -> (G, hg, 2, D): normalized null-K row + raw null-V
+    nkv = jnp.asarray(null_kv, jnp.float32)
+    nkv = jnp.stack([l2n_scaled(nkv[0], ksf), nkv[1]])
+    nkv = nkv.reshape(2, G, hg, D).transpose(1, 2, 0, 3)  # (G, hg, 2, D)
+    scales = jnp.stack([jnp.asarray(q_scale, jnp.float32), ksf])  # (2, D)
+    has_bias = bias is not None
+    if has_bias:
+        biasp = _pad_to(_pad_to(jnp.asarray(bias, jnp.float32)[None],
+                                Mp, 2), Np, 1)
+    else:
+        biasp = jnp.zeros((1, tile_q, Mp), jnp.float32)
+    keep_arr = (jnp.ones((B,), jnp.int32) if keep is None
+                else jnp.asarray(keep).astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * G, nq),
+        in_specs=[
+            pl.BlockSpec((1, hg, tile_q, D), lambda g, qi, kk: (g, 0, qi, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, 2, D),
+                         lambda g, qi, kk, G=G: (g % G, 0, 0, 0)),
+            pl.BlockSpec((2, D), lambda g, qi, kk: (0, 0)),
+            (pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, qi, 0))
+             if has_bias else
+             pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, 0, 0))),
+        ],
+        out_specs=pl.BlockSpec((1, hg, tile_q, D),
+                               lambda g, qi, kk: (g, 0, qi, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_qknorm_kernel_chunked, sm_scale=sm_scale, m_real=M,
+                has_bias=has_bias, groups_per_batch=G, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * G, hg, Np, D), q.dtype),
+        interpret=interpret,
+    )(keep_arr, qp, kp, vp, nkv, scales, biasp)
+    return out.reshape(B, H, Np, D)[:, :, :N]
+
+
+def fused_cosine_attention_fwd_strip(q, k, v, null_kv, q_scale, k_scale,
+                                     bias=None, keep=None,
+                                     sm_scale: float = 8.0,
+                                     tile: int = 128, head_group: int = 8,
+                                     tile_q: int = 128,
+                                     interpret: bool = False):
+    """The original strip-materializing cosine kernel (_qknorm_kernel):
+    holds the full (hg, tile_q, Mp) fp32 score strip, which capped the
+    head group at 4 at decode shapes. Kept for A/B measurement against
+    the chunked default."""
     B, H, N, D = q.shape
     M = k.shape[2]
     Np = math.ceil(N / tile_q) * tile_q
@@ -415,7 +853,6 @@ def fused_cosine_attention_fwd(q, k, v, null_kv, q_scale, k_scale,
     qp = regroup(_pad_to(q, Np, 2), Np)
     kp = regroup(_pad_to(kf, Mp, 2), Mp)
     vp = regroup(_pad_to(v, Mp, 2), Mp)
-    # (2, H, 1, D) -> (G, hg, 2, D): normalized null-K row + raw null-V
     nkv = jnp.asarray(null_kv, jnp.float32)
     nkv = jnp.stack([l2n_scaled(nkv[0], ksf), nkv[1]])
     nkv = nkv.reshape(2, G, hg, D).transpose(1, 2, 0, 3)  # (G, hg, 2, D)
@@ -595,6 +1032,25 @@ def make_cosine_attention_nhd(sm_scale: float = 8.0,
     return dispatch
 
 
+# choice -> module attribute, resolved late (globals()) so tests can
+# monkeypatch the variants with interpret=True
+_COSINE_FWD_NAMES = {
+    "fb": "fused_cosine_attention_fwd_fb",
+    "fb2": "fused_cosine_attention_fwd_fb2",
+    "strip": "fused_cosine_attention_fwd_strip",
+    "chunked": "fused_cosine_attention_fwd",
+}
+
+
+def cosine_kernel_choice() -> str:
+    """Which cosine forward kernel the dispatcher uses (BEVGEN_COSINE_KERNEL
+    env): 'fb2' (default — fixed-bound exp2 softmax with the MXU-summed
+    denominator; b2 flagship 17.68 -> 19.33 img/s vs strip), 'fb',
+    'strip', or 'chunked'."""
+    import os
+    return os.environ.get("BEVGEN_COSINE_KERNEL", "fb2")
+
+
 def make_cosine_attention(sm_scale: float = 8.0,
                           use_pallas: Optional[bool] = None):
     """cos_attn(q, k, v, null_kv, q_scale, k_scale, bias, keep) -> out.
@@ -626,9 +1082,18 @@ def make_cosine_attention(sm_scale: float = 8.0,
 
     @jax.custom_vjp
     def attn(q, k, v, null_kv, q_scale, k_scale, bias, keep):
-        return fused_cosine_attention_fwd(q, k, v, null_kv, q_scale,
-                                          k_scale, bias, keep,
-                                          sm_scale=sm_scale)
+        # kernel selection (BEVGEN_COSINE_KERNEL): 'fb2' fixed-bound
+        # exp2 softmax with the MXU-summed denominator is the measured
+        # default (b2 flagship e2e: strip 17.7, fb2 19.3 img/s). 'fb'
+        # is fixed-bound with a VPU sum-reduce; 'strip' the round-2
+        # running-max kernel; 'chunked' the online-softmax variant that
+        # halves shared-bias HBM traffic by doubling the head group but
+        # whose fori_loop recurrence costs more than the saving
+        # (17.7 -> 12.7 img/s b2 e2e) — all kept for A/B measurement.
+        fwd_fn = globals()[_COSINE_FWD_NAMES.get(
+            cosine_kernel_choice(), "fused_cosine_attention_fwd_fb2")]
+        return fwd_fn(q, k, v, null_kv, q_scale, k_scale, bias, keep,
+                      sm_scale=sm_scale)
 
     def fwd(q, k, v, null_kv, q_scale, k_scale, bias, keep):
         return (attn(q, k, v, null_kv, q_scale, k_scale, bias, keep),

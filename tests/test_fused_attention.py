@@ -176,6 +176,74 @@ def test_fused_cosine_multi_group_interpret():
     np.testing.assert_allclose(out, ref, atol=3e-4)
 
 
+@pytest.mark.parametrize("keep", [None, "flags"])
+def test_fused_cosine_chunked_multi_chunk(keep):
+    """Force several kv chunks (chunk=128 < Mp) so the online-softmax
+    recurrence (running max / renorm / accumulator) is actually
+    exercised, including a final chunk that is all padding."""
+    q, k, v, nkv, qs, ks, bias = cosine_case(M=300)
+    keep_arr = jnp.asarray([1, 0], jnp.int32) if keep else None
+    out = np.asarray(fa.fused_cosine_attention_fwd(
+        q, k, v, nkv, qs, ks, bias, keep_arr, sm_scale=8.0, chunk=128,
+        interpret=True))
+    ref = np.asarray(dense_cosine_reference(q, k, v, nkv, qs, ks, bias,
+                                            keep_arr))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+FB_VARIANTS = {"fb": "fused_cosine_attention_fwd_fb",
+               "fb2": "fused_cosine_attention_fwd_fb2"}
+
+
+@pytest.mark.parametrize("variant", sorted(FB_VARIANTS))
+@pytest.mark.parametrize("keep", [None, "flags"])
+@pytest.mark.parametrize("with_bias", [True, False])
+def test_fused_cosine_fb_matches_dense(variant, keep, with_bias):
+    """The fixed-bound-softmax kernels are the same attention: uniform
+    exp scaling cancels in the normalization (fb2 additionally swaps
+    exp->exp2 with log2e folded host-side and sums the denominator on
+    the MXU via a ones-column in V). Cover padding (M=300 -> Mp=384),
+    the CFG keep scalar-add path, and bias=None (rowbound then
+    collapses to the scalar cosine bound)."""
+    q, k, v, nkv, qs, ks, bias = cosine_case(M=300)
+    keep_arr = jnp.asarray([1, 0], jnp.int32) if keep else None
+    b = bias if with_bias else None
+    fwd = getattr(fa, FB_VARIANTS[variant])
+    out = np.asarray(fwd(
+        q, k, v, nkv, qs, ks, b, keep_arr, sm_scale=8.0, interpret=True))
+    ref = np.asarray(dense_cosine_reference(
+        q, k, v, nkv, qs, ks,
+        bias if with_bias else jnp.zeros_like(bias), keep_arr))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+@pytest.mark.parametrize("variant", sorted(FB_VARIANTS))
+def test_fused_cosine_fb_large_bias_range(variant):
+    """Stress the fixed-bound gap: a bias with a large spread makes
+    exp(s - rowbound) small for most entries — outputs must still match
+    the max-subtracted softmax to fp32 accuracy."""
+    q, k, v, nkv, qs, ks, bias = cosine_case(seed=7)
+    bias = bias * 15.0  # spread ~ +-45 -> worst-case gap ~ 100
+    fwd = getattr(fa, FB_VARIANTS[variant])
+    out = np.asarray(fwd(
+        q, k, v, nkv, qs, ks, bias, None, sm_scale=8.0, interpret=True))
+    ref = np.asarray(dense_cosine_reference(q, k, v, nkv, qs, ks, bias,
+                                            None))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_fused_cosine_chunked_equals_strip():
+    """The chunked kernel and the original strip kernel are the same
+    math — outputs must agree to fp rounding on identical inputs."""
+    q, k, v, nkv, qs, ks, bias = cosine_case(M=300, N=130)
+    a = np.asarray(fa.fused_cosine_attention_fwd(
+        q, k, v, nkv, qs, ks, bias, None, sm_scale=8.0, chunk=128,
+        interpret=True))
+    b = np.asarray(fa.fused_cosine_attention_fwd_strip(
+        q, k, v, nkv, qs, ks, bias, None, sm_scale=8.0, interpret=True))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_cosine_dispatch_gradients_cpu():
     """make_cosine_attention's dense CPU path must be differentiable in
     all eight args and match the reference forward."""
@@ -244,6 +312,15 @@ def test_cosine_dispatch_gradients_no_bias_interpret(monkeypatch):
     no dead dbias pass) and still match the dense gradients."""
     monkeypatch.setattr(fa, "fused_cosine_attention_fwd",
                         partial(fa.fused_cosine_attention_fwd,
+                                interpret=True))
+    monkeypatch.setattr(fa, "fused_cosine_attention_fwd_strip",
+                        partial(fa.fused_cosine_attention_fwd_strip,
+                                interpret=True))
+    monkeypatch.setattr(fa, "fused_cosine_attention_fwd_fb",
+                        partial(fa.fused_cosine_attention_fwd_fb,
+                                interpret=True))
+    monkeypatch.setattr(fa, "fused_cosine_attention_fwd_fb2",
+                        partial(fa.fused_cosine_attention_fwd_fb2,
                                 interpret=True))
     monkeypatch.setattr(fa, "fused_bias_attention_bwd",
                         partial(fa.fused_bias_attention_bwd,
