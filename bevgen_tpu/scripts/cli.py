@@ -47,25 +47,79 @@ def load_yaml_config(path: str) -> PipelineConfig:
     return apply_overrides(cfg, flatten(data))
 
 
+# ---------------------------------------------------------------------------
+# Mode mixins: hydra's list-composable config groups
+# (reference 'modes=[argoverse,generate]', generate.py:75,
+#  configs/train.yaml:22, configs/modes/*.yaml). Each mode is a delta
+# layered onto the composed config IN LIST ORDER, before explicit
+# key=value overrides (hydra precedence: defaults list < CLI overrides).
+# A mode may also inject script-arg DEFAULTS (applied only where the
+# user didn't pass the key) — that's how configs/modes/generate.yaml's
+# datamodule surgery translates here.
+# ---------------------------------------------------------------------------
+
+def _mode_argoverse(cfg: PipelineConfig):
+    """configs/modes/argoverse.yaml: 3 square front ring cameras on the
+    Argoverse dataset (stage_2_argoverse model/datamodule override).
+    The yaml's model.bbox_ce_weight=0.0 concerns the AR path's bbox
+    up-weighting, which here is a per-call `weights` arg of ar_loss —
+    zero by default already."""
+    import dataclasses
+    tf = cfg.transformer.replace(
+        num_cams=3, cam_names="ARGOVERSE_FRONT_CAMERAS",
+        dataset="argoverse", cam_res=(256, 256), cam_latent_res=(16, 16))
+    return dataclasses.replace(cfg, transformer=tf), {}
+
+
+def _mode_generate(cfg: PipelineConfig):
+    """configs/modes/generate.yaml: inference task — evaluation split,
+    outputs under eval_generate (our generate script's own defaults
+    cover save_dir/callbacks; only the split default changes)."""
+    return cfg, {"datamodule.split": "test"}
+
+
+MODES = {"argoverse": _mode_argoverse, "generate": _mode_generate}
+
+
+def apply_modes(cfg: PipelineConfig, modes_value: str,
+                args: Dict[str, str]) -> PipelineConfig:
+    """Apply `modes=[a,b]` (or `modes=a,b`) deltas in order; mode-
+    injected script-arg defaults only fill keys the user didn't pass."""
+    names = [m.strip() for m in modes_value.strip("[]").split(",")
+             if m.strip()]
+    for name in names:
+        if name not in MODES:
+            raise SystemExit(f"unknown mode {name!r}; "
+                             f"choose from {sorted(MODES)}")
+        cfg, injected = MODES[name](cfg)
+        for k, v in injected.items():
+            args.setdefault(k, v)
+    return cfg
+
+
 def build_config(args: Dict[str, str],
                  default_preset: str = "argoverse_muse"
                  ) -> Tuple[PipelineConfig, Dict[str, str]]:
     """Pop config-related keys from args, return (config, leftover).
     `config=<file.yaml>` loads a YAML config; `preset=` picks a named
-    python preset; dotted keys override either."""
+    python preset; `modes=[a,b]` layers mode mixins; dotted keys
+    override any of them."""
     args = dict(args)
     yaml_path = args.pop("config", None)
+    modes_value = args.pop("modes", None)
     if yaml_path:
         cfg = load_yaml_config(yaml_path)
         preset = args.pop("preset", None)
         if preset:
             raise SystemExit("pass either config= or preset=, not both")
-        return _apply_cli_overrides(cfg, args)
-    preset = args.pop("preset", default_preset)
-    if preset not in PRESETS:
-        raise SystemExit(f"unknown preset {preset!r}; "
-                         f"choose from {sorted(PRESETS)}")
-    cfg = PRESETS[preset]()
+    else:
+        preset = args.pop("preset", default_preset)
+        if preset not in PRESETS:
+            raise SystemExit(f"unknown preset {preset!r}; "
+                             f"choose from {sorted(PRESETS)}")
+        cfg = PRESETS[preset]()
+    if modes_value:
+        cfg = apply_modes(cfg, modes_value, args)
     return _apply_cli_overrides(cfg, args)
 
 

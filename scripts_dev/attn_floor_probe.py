@@ -49,8 +49,21 @@ bias = jnp.asarray(rng.standard_normal((1, N, Mp)), jnp.float32) - 10.0
 def make_kernel(mode):
     def kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
         qb = q_ref[0].astype(o_ref.dtype)
+        if mode == "avonly":
+            # skip QK entirely: AV on a broadcast 'e' (VPU fill only)
+            e = jnp.broadcast_to(
+                qb[..., :1], qb.shape[:2] + (k_ref.shape[2],)
+            ).astype(v_ref.dtype)
+            ov = jax.lax.dot_general(e, v_ref[0],
+                                     (((2,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            o_ref[0] = ov[..., :D].astype(o_ref.dtype)
+            return
         s = jax.lax.dot_general(qb, k_ref[0], (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
+        if mode == "qkonly":
+            o_ref[0] = s[..., :D].astype(o_ref.dtype)
+            return
         if mode == "dotonly":
             e = s
         elif mode == "nobias":

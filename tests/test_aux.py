@@ -190,6 +190,33 @@ def test_cli_parse_and_preset_errors():
         parse_argv(["notkeyvalue"])
 
 
+def test_cli_modes_composition():
+    """hydra-style list composition: 'modes=[argoverse,generate]'
+    (reference generate.py:75, configs/modes/*.yaml) layers mode deltas
+    onto the preset, injects script-arg defaults only where the user
+    didn't pass the key, and explicit key=value overrides win."""
+    from bevgen_tpu.scripts.cli import build_config
+    # nuscenes preset + argoverse mode -> the mode's camera rig wins
+    cfg, left = build_config({"preset": "nuscenes_ar",
+                              "modes": "[argoverse,generate]"})
+    assert cfg.transformer.dataset == "argoverse"
+    assert cfg.transformer.cam_names == "ARGOVERSE_FRONT_CAMERAS"
+    assert cfg.transformer.num_cams == 3
+    # generate mode injected the test-split default as a script arg
+    assert left == {"datamodule.split": "test"}
+    # explicit overrides beat modes (hydra precedence)
+    cfg2, left2 = build_config({"preset": "nuscenes_ar",
+                                "modes": "argoverse,generate",
+                                "transformer.num_cams": "1",
+                                "transformer.cam_names": "NUSCENES_FRONT",
+                                "datamodule.split": "val"})
+    assert cfg2.transformer.num_cams == 1
+    assert cfg2.transformer.dataset == "argoverse"  # mode delta kept
+    assert left2 == {"datamodule.split": "val"}
+    with pytest.raises(SystemExit):
+        build_config({"preset": "tiny_test", "modes": "[nope]"})
+
+
 def test_curate_different_mode(tmp_path):
     from bevgen_tpu.data.rasterize import save_bev_raster
     from bevgen_tpu.scripts import curate

@@ -88,6 +88,41 @@ def test_fid_statistics():
     assert fid.fid_from_features(a, a) == pytest.approx(0.0, abs=1e-6)
 
 
+def test_frechet_matches_scipy_on_hard_covariances():
+    """The scipy-free eigh-based sqrtm-product must agree with
+    scipy.linalg.sqrtm on the cases where eigh shortcuts classically go
+    wrong: rank-deficient (near-singular) and severely ill-conditioned
+    covariance pairs (eigenvalues spanning ~16 decades)."""
+    import scipy.linalg
+    rng = np.random.default_rng(42)
+    d = 32
+
+    def rand_cov(eigvals):
+        q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+        return (q * eigvals) @ q.T
+
+    cases = [
+        # rank-deficient: half the spectrum exactly zero
+        (rand_cov(np.r_[np.zeros(d // 2), np.linspace(0.5, 2.0, d // 2)]),
+         rand_cov(np.linspace(0.1, 1.0, d))),
+        # ill-conditioned: 1e-12 .. 1e4
+        (rand_cov(np.logspace(-12, 4, d)),
+         rand_cov(np.logspace(-10, 2, d))),
+        # both near-singular
+        (rand_cov(np.r_[np.full(d - 2, 1e-14), [1.0, 2.0]]),
+         rand_cov(np.r_[np.full(d - 2, 1e-13), [0.5, 3.0]])),
+    ]
+    for c1, c2 in cases:
+        mu1 = rng.normal(size=d)
+        mu2 = rng.normal(size=d)
+        ours = fid.frechet_distance(mu1, c1, mu2, c2)
+        covmean, _ = scipy.linalg.sqrtm(c1 @ c2, disp=False)
+        covmean = np.real(covmean)
+        ref = (np.sum((mu1 - mu2) ** 2) + np.trace(c1) + np.trace(c2)
+               - 2.0 * np.trace(covmean))
+        assert ours == pytest.approx(ref, rel=1e-6, abs=1e-8)
+
+
 def test_fid_between_dirs(tmp_path):
     import cv2
     rng = np.random.default_rng(0)
