@@ -14,6 +14,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: this single-core host pays 10-70 s
+# per multi-device compile; repeat runs (local iteration, CI re-runs)
+# hit the disk cache instead. Keyed by HLO hash — safe across edits.
+_cache_dir = os.environ.get(
+    "BEVGEN_TEST_COMPILE_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_compile_cache"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 

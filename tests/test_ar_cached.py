@@ -38,6 +38,7 @@ def make_inputs(cfg, b=2, seed=0):
 
 
 @pytest.mark.parametrize("camera_bias", [False, True])
+@pytest.mark.slow
 def test_teacher_forced_logits_match_full_forward(camera_bias):
     cfg = gpt_cfg(camera_bias=camera_bias)
     model = SparseGPT(cfg, use_pallas=False)

@@ -183,6 +183,7 @@ def test_single_camera_mode(av2_tree):
     assert len(toks) == 22   # unique per (cam, frame)
 
 
+@pytest.mark.slow
 def test_train_stage1_on_synthetic_tree(av2_tree, monkeypatch, capsys):
     """End-to-end: stage-1 cam training consumes the per-frame dataset
     (VERDICT r1 next-round item #5)."""

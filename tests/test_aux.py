@@ -280,6 +280,7 @@ def test_host_shard_indices_partition():
         jax.process_index, jax.process_count = orig_idx, orig_cnt
 
 
+@pytest.mark.slow
 def test_edit_scene_cli(tmp_path):
     """Headless scene editing end-to-end: edits -> raster -> generate ->
     output tree (reference interactive_editing.py equivalent)."""

@@ -13,6 +13,10 @@ import os
 import numpy as np
 import pytest
 
+# whole-module: each CLI run jits a full pipeline (14-60 s compiles
+# on this host); the CLI arg-surface has cheap unit coverage in test_aux
+pytestmark = pytest.mark.slow
+
 
 def _tiny(extra):
     return ["preset=tiny_test", "muse.sample_iterations=2",

@@ -307,6 +307,7 @@ def test_cosine_nhd_dispatch_gradients_cpu():
         assert np.abs(np.asarray(gi)).max() > 0
 
 
+@pytest.mark.slow
 def test_cosine_dispatch_gradients_no_bias_interpret(monkeypatch):
     """bias=None must thread through the custom_vjp (no zeros stand-in,
     no dead dbias pass) and still match the dense gradients."""

@@ -10,10 +10,16 @@ the batch over ('dcn', 'dp') must be numerically transparent vs the
 equivalent flat-dp mesh.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from bevgen_tpu.parallel import sharding as shd
+
+# whole-module: multi-device train/generate compiles are 30-60 s each
+# on this single-core host (fast-lane equivalents live in
+# test_training/test_pipeline)
+pytestmark = pytest.mark.slow
 
 
 def test_make_mesh_dcn_axes():

@@ -1,4 +1,5 @@
 """End-to-end pipeline tests (tiny config, CPU)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +70,7 @@ def test_ar_sparse_pipeline_end_to_end():
     assert (arr >= 0).all() and (arr < tf.vocab_size).all()
 
 
+@pytest.mark.slow
 def test_sharded_generation_multichip(tiny_pipe):
     """Full generation SPMD over a dp x tp mesh (8 virtual devices)."""
     from bevgen_tpu.parallel import sharding as shd
@@ -100,6 +102,7 @@ def test_sharded_generation_multichip(tiny_pipe):
     assert agreement > 0.8, f"SPMD/single agreement {agreement:.3f}"
 
 
+@pytest.mark.slow
 def test_dp_scaling_identical_outputs(tiny_pipe):
     """Pure-dp scaling of make_sharded_generate: a fixed global batch
     produces IDENTICAL token ids on 1, 2, 4 and 8 dp shards. dp has no
@@ -131,6 +134,7 @@ def test_dp_scaling_identical_outputs(tiny_pipe):
             err_msg=f"dp={dp} generation diverged from dp=1")
 
 
+@pytest.mark.slow
 def test_rect_geometry_pipeline():
     """Non-square cameras (reference rect config 256x336 -> 16x21,
     multi_view_stage_1_cam_rect_argoverse.yaml): full pipeline at a
@@ -179,6 +183,7 @@ def test_rect_geometry_pipeline():
     assert images.shape == (1, 3, 32, 48, 3)
 
 
+@pytest.mark.slow
 def test_sharded_generation_int8_multichip(tiny_pipe):
     """int8 W8A8 serving under dp x tp: kernel_q/scale follow the TP
     rules (parallel/sharding.py) and SPMD decode still runs."""
@@ -209,6 +214,7 @@ def test_sharded_generation_int8_multichip(tiny_pipe):
     assert (arr >= 0).all() and (arr < cfg.vocab_size).all()
 
 
+@pytest.mark.slow
 def test_ar_pipeline_end_to_end():
     """ARPipeline: BEV encode -> KV-cached AR decode -> VQ decode, plus
     the int8-weight serving tree (the legacy reference path served

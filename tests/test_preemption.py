@@ -87,6 +87,7 @@ def test_async_checkpoint_error_surfaces_on_join(tmp_path, monkeypatch):
     mgr.wait()
 
 
+@pytest.mark.slow
 def test_train_stage2_sigterm_checkpoints_and_exits(
         tmp_path, capsys, monkeypatch):
     """Full preemption drive: SIGTERM mid-run -> loop breaks, a final

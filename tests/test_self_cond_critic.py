@@ -29,6 +29,7 @@ def _inputs(cfg, b=2, seed=0):
     return tokens, cond, jnp.asarray(ii), jnp.asarray(ei)
 
 
+@pytest.mark.slow
 def test_self_cond_loss_and_generate():
     cfg = cfg_small(self_cond=True)
     muse = MuseConfig(sample_iterations=3)

@@ -90,6 +90,7 @@ def test_camera_bias_affects_attention():
     assert "camera_bias_emb" not in p_off["params"]
 
 
+@pytest.mark.slow
 def test_maskgit_generate_shapes_and_determinism():
     cfg = tiny_cfg()
     muse = MuseConfig(sample_iterations=3)
@@ -139,6 +140,7 @@ def test_maskgit_partial_decode_keeps_init():
     np.testing.assert_array_equal(flat[:, 0], np.asarray(ids[:, 0]))
 
 
+@pytest.mark.slow
 def test_maskgit_loss_finite_and_grads():
     cfg = tiny_cfg()
     muse = MuseConfig(sample_iterations=2)

@@ -18,6 +18,7 @@ def small_cfg(**kw):
     return Stage1Config(**base)
 
 
+@pytest.mark.slow
 def test_vqgan_train_step_runs_and_improves_nothing_nan():
     cfg = small_cfg()
     model = VQModel(cfg)
@@ -37,6 +38,7 @@ def test_vqgan_train_step_runs_and_improves_nothing_nan():
     assert float(metrics["train/d_weight"]) >= 0
 
 
+@pytest.mark.slow
 def test_seg_train_step():
     cfg = small_cfg(in_channels=7, out_ch=7, n_labels=7)
     model = VQSegmentationModel(cfg)
@@ -118,6 +120,7 @@ def test_adopt_weight_gate():
     assert float(losses.adopt_weight(1.0, jnp.int32(15), 10)) == 1.0
 
 
+@pytest.mark.slow
 def test_sharded_step_skips_nonfinite_update():
     """Injecting a NaN into the batch must leave params unchanged
     (update_applied=0) — the bf16 analogue of DeepSpeed's NaN retry."""
@@ -225,6 +228,7 @@ def test_scaled_lr_rule():
                      accumulate_steps=2) == 1e-4 * 8 * 4 * 2
 
 
+@pytest.mark.slow
 def test_sharded_train_step_with_remat():
     """remat (jax.checkpoint) composes with the shard_map attention
     cores under a dp x tp mesh."""
