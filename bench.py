@@ -203,6 +203,19 @@ def main():
     from bevgen_tpu.core.config import argoverse_muse_7cam_config
     from bevgen_tpu.pipelines.generate import BEVGenPipeline
 
+    # persistent XLA compile cache: the tunneled remote compile service
+    # takes minutes per b16 program and serializes across clients — a
+    # warm cache makes repeat bench runs start in seconds
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_tpu_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     # headline = the BASELINE.md-named workload (batch 16). The measured
     # serving optimum is batch 2 (docs/PERF_NOTES.md batch sweep: img/s
     # peaks small and falls monotonically to batch 16) — reported

@@ -47,13 +47,19 @@ NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 
 def _make_dense(quant: str, dtype):
     """Dense-layer factory for the hot matmuls: nn.Dense, or the W8A8
-    int8 path (ops/quant.py) when the config requests it."""
+    int8 path (ops/quant.py) when the config requests it.
+
+    `static` marks layers whose input is a scale-only-LayerNorm output:
+    the int8 path then uses per-channel STATIC activation scales folded
+    from the LN gamma (no per-row amax reduce — ops/quant.py). Must
+    agree with quantize_dense_tree's structural rules."""
     if quant == "int8":
         from bevgen_tpu.ops.quant import QuantDense
 
-        return lambda f, name: QuantDense(f, dtype=dtype, name=name)
-    return lambda f, name: nn.Dense(f, use_bias=False, dtype=dtype,
-                                    param_dtype=jnp.float32, name=name)
+        return lambda f, name, static=False: QuantDense(
+            f, dtype=dtype, static_input=static, name=name)
+    return lambda f, name, static=False: nn.Dense(
+        f, use_bias=False, dtype=dtype, param_dtype=jnp.float32, name=name)
 
 
 class _ScaleParam(nn.Module):
@@ -182,8 +188,10 @@ class CosineAttention(nn.Module):
         m = kv_in.shape[1]
 
         dense = _make_dense(self.quant, self.dtype)
-        q = dense(inner, "to_q")(x)
-        kv = dense(inner * 2, "to_kv")(kv_in)
+        q = dense(inner, "to_q", static=True)(x)
+        # self-attention kv reads the LN'd x (static scales from the
+        # same gamma); cross-attention kv reads the raw BEV context
+        kv = dense(inner * 2, "to_kv", static=context is None)(kv_in)
         k, v = jnp.split(kv, 2, axis=-1)
 
         null_kv = self.param("null_kv", nn.initializers.normal(1.0),
@@ -260,11 +268,11 @@ class GEGLUFeedForward(nn.Module):
         inner = int(self.dim * self.mult * 2 / 3)
         dense = _make_dense(self.quant, self.dtype)
         h = LayerNormG(self.dtype, name="norm_in")(x)
-        h = dense(inner * 2, "proj_in")(h)
+        h = dense(inner * 2, "proj_in", static=True)(h)
         a, gate = jnp.split(h, 2, axis=-1)
         h = gate * jax.nn.gelu(a, approximate=False)
         h = LayerNormG(self.dtype, name="norm_mid")(h)
-        return dense(self.dim, "proj_out")(h)
+        return dense(self.dim, "proj_out", static=True)(h)
 
 
 class TransformerOutput(NamedTuple):
@@ -397,7 +405,7 @@ class MultiViewTransformer(nn.Module):
 
         dim_out = self.dim_out if self.dim_out is not None else cfg.vocab_size
         logits = _make_dense(cfg.quant, self.dtype)(
-            dim_out, "to_logits")(embed)
+            dim_out, "to_logits", static=True)(embed)
         return TransformerOutput(
             logits=logits.reshape(b, cam, hw, dim_out), embed=embed)
 

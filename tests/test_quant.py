@@ -122,3 +122,58 @@ def test_dequantize_inverts_structure(maskgit_inputs):
     rec = back["transformer"]["to_logits"]["kernel"]
     step = np.abs(np.asarray(orig)).max(axis=0) / 127.0
     assert np.all(np.abs(rec - np.asarray(orig)) <= step / 2 + 1e-7)
+
+
+def test_static_scales_fold_nontrivial_gammas(maskgit_inputs):
+    """The static-activation path must stay numerically faithful when
+    the LayerNorm gammas are NOT all-ones (real checkpoints): the
+    per-channel in_scale folds |gamma| into the weight quantization
+    (ops/quant.py quantize_weight_static)."""
+    pipe, (ids, cond, ii, ei) = maskgit_inputs
+    cfg = pipe.transformer
+    m = MaskGit(cfg, pipe.muse, dtype=jnp.float32)
+    m_q = MaskGit(cfg.replace(quant="int8"), pipe.muse, dtype=jnp.float32)
+
+    params = m.init(jax.random.PRNGKey(0), ids, cond, ii, ei,
+                    method=MaskGit.init_all)
+
+    # perturb every LN gamma by a wide per-channel spread (0.1x .. 10x)
+    rng = np.random.default_rng(7)
+
+    def perturb(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "norm" and isinstance(v, dict) and "scale" in v \
+                        and np.ndim(v["scale"]) == 1:
+                    g = np.exp(rng.uniform(-2.3, 2.3,
+                                           np.shape(v["scale"])))
+                    out[k] = dict(v, scale=jnp.asarray(g, jnp.float32))
+                else:
+                    out[k] = perturb(v)
+            return out
+        return node
+
+    params = {"params": perturb(params["params"])}
+    qtree = quantize_dense_tree(params["params"])
+    qparams = {"params": qtree}
+
+    # static layers carry in_scale tied to the perturbed gamma
+    attn0 = qtree["transformer"]["layers_0_attn"]
+    gamma = np.asarray(
+        params["params"]["transformer"]["layers_0_attn"]["norm"]["norm"]
+        ["scale"])
+    from bevgen_tpu.ops.quant import CLIP_SIGMA
+    np.testing.assert_allclose(attn0["to_q"]["in_scale"],
+                               np.abs(gamma) * CLIP_SIGMA / 127.0,
+                               rtol=1e-6)
+    assert "in_scale" not in attn0["to_out"]          # dynamic
+    assert "in_scale" not in (
+        qtree["transformer"]["layers_0_cross_attn"]["to_kv"])
+
+    out = np.asarray(m.apply(params, ids, cond, ii, ei).logits, np.float64)
+    out_q = np.asarray(m_q.apply(qparams, ids, cond, ii, ei).logits,
+                       np.float64)
+    a, b_ = out.ravel(), out_q.ravel()
+    cos = (a @ b_) / (np.linalg.norm(a) * np.linalg.norm(b_))
+    assert cos > 0.99, cos

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bevgen_tpu.core.config import MultiViewConfig, MuseConfig
 from bevgen_tpu.models import geometry
