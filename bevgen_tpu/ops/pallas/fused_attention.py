@@ -491,6 +491,199 @@ def _qknorm_kernel_fb2(keep_ref, q_ref, k_ref, v_ref, null_ref,
     o_ref[0] = (num / den).astype(o_ref.dtype)
 
 
+def _qknorm_kernel_fb2c(keep_ref, q_ref, k_ref, v_ref, null_ref,
+                        scale_ref, bias_ref, rb_ref, o_ref,
+                        *, d_model: int, groups_per_batch: int, chunk: int):
+    """fb2 with CHUNKED score strips — the batch-16 kernel.
+
+    Identical math to _qknorm_kernel_fb2 (fixed-bound exp2 softmax,
+    MXU-summed denominator), but the (hg, T, Mp) score strip is never
+    materialized: K/V stay resident for the grid row and the strip is
+    computed `chunk` columns at a time with a PLAIN accumulation —
+    the fixed bound makes every exp2 term final (no running max, no
+    alpha-rescale recurrence that sank the round-2 chunked kernel).
+    The chunk loop is a static Python unroll (nchunks is static).
+
+    Shrinking the transient from O(Mp) to O(chunk) is what lets the
+    head group DOUBLE (4 -> 8 at decode shapes). The shared camera-bias
+    strip is re-fetched once per (batch, group), so its HBM traffic is
+    B * G * N * M * bytes — at batch 16 the dominant kernel cost
+    (measured ~0.95 GB/layer-call at G=4 fp32). hg=8 halves it; the
+    strip additionally arrives as BF16 (halving it again): the bias is
+    stored as biasfb = (bias - rowbound) * log2(e), whose significant
+    values (the columns that dominate the softmax) sit near 0 where
+    bf16 ABSOLUTE error is ~2^-9 * |value| — the resulting weight
+    error lands well inside the bf16 tolerance the pipeline already
+    carries (tests/test_fused_attention.py locks this vs fp32 dense).
+
+    v_ref is V with a ones-column at index d_model, padded to 72 lanes
+    (not 2D=128): the AV dot's MXU cost is identical (output lanes pad
+    to 128 either way) but HBM V traffic drops 44%."""
+    b = pl.program_id(0) // groups_per_batch
+    mp = k_ref.shape[2]
+    vw = v_ref.shape[3]
+
+    qsc = scale_ref[0].astype(jnp.float32)    # q_scale * sm_scale * LOG2E
+    q = (_l2n(q_ref[0].astype(jnp.float32)) * qsc).astype(o_ref.dtype)
+    nk = null_ref[0, :, 0:1].astype(o_ref.dtype)         # (hg, 1, D) normed
+    nv = null_ref[0, :, 1:2].astype(jnp.float32)         # (hg, 1, D)
+
+    # (keep - 1) * 1e9: 0 for kept rows, -1e9 on every REAL column of
+    # dropped-cond rows (padding columns already carry NEG_INF)
+    ka = (keep_ref[b].astype(jnp.float32) - 1.0) * 1e9
+    # per-row fixed bound applied from the fp32 rb vector — NOT folded
+    # into the bf16 strip (quantizing bias - rowbound would magnify the
+    # bf16 step by the large common offset; the strip holds only the
+    # small centered bias values)
+    rbka = ka - rb_ref[0]                                # (T, 1)
+
+    s_null = jax.lax.dot_general(q, nk, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    e_null = jnp.exp2(s_null - rb_ref[0][None])          # (hg, T, 1)
+
+    hg, T = q.shape[0], q.shape[1]
+
+    # static-trip fori_loop (NOT a Python unroll: unrolling keeps every
+    # chunk's fp32 score transient live at once — measured 16.02MB VMEM
+    # at hg=8/chunk=256, over the 16MB scoped limit). No recurrence
+    # hazards here: the accumulation is order-free (fixed bound) and
+    # the out block is written once per grid step (no revisits).
+    def step(ci, acc):
+        off = ci * chunk
+        kc = k_ref[0, :, pl.ds(off, chunk), :]
+        s = jax.lax.dot_general(q, kc, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        bc = bias_ref[0, :, pl.ds(off, chunk)].astype(jnp.float32)
+        e = jnp.exp2(s + (bc[None] + rbka[None]))        # (hg, T, chunk)
+        vc = v_ref[0, :, pl.ds(off, chunk), :]
+        return acc + jax.lax.dot_general(
+            e.astype(vc.dtype), vc, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, mp // chunk, step,
+                            jnp.zeros((hg, T, vw), jnp.float32))
+
+    num = acc[..., :d_model] + e_null * nv
+    den = acc[..., d_model:d_model + 1] + e_null
+    o_ref[0] = (num / den).astype(o_ref.dtype)
+
+
+# V carries a ones-column at index D for the MXU denominator; padding
+# the lane width to 72 (not 2D) keeps the dot shape MXU-equivalent
+# (output lanes pad to 128 regardless) at 44% less HBM V traffic
+FB2C_VW = 8
+
+
+def _auto_head_group_fb2c(H: int, tile_q: int, Mp: int, D: int,
+                          requested: int, chunk: int,
+                          budget_bytes: int = 44 << 20) -> int:
+    """VMEM-budgeted head group for fb2c: resident K (D) + V (D+VW)
+    slabs (double-buffered), chunk-sized fp32/bf16 score transients,
+    fp32 accumulator, q block."""
+    vw = D + FB2C_VW
+    per_head = (2 * Mp * D * 2                # K, double-buffered
+                + 2 * Mp * vw * 2             # V+ones, double-buffered
+                + tile_q * chunk * (4 + 2)    # s fp32 + e bf16 transient
+                + tile_q * vw * 4             # accumulator
+                + tile_q * D * (2 * 2 + 4))   # q block dbl-buf + fp32 temp
+    fixed = tile_q * Mp * 2 * 2               # bf16 bias strip, dbl-buffered
+    hg = math.gcd(requested, H)
+    while hg > 1 and hg * per_head + fixed > budget_bytes:
+        hg //= 2
+    return max(hg, 1)
+
+
+def fused_cosine_attention_fwd_fb2c(q, k, v, null_kv, q_scale, k_scale,
+                                    bias=None, keep=None,
+                                    sm_scale: float = 8.0,
+                                    tile: int = 128, head_group: int = 8,
+                                    tile_q: int = 128, chunk: int = 256,
+                                    interpret: bool = False):
+    """Chunked exp2 fixed-bound cosine attention (_qknorm_kernel_fb2c).
+    Same contract as the other cosine forwards."""
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    Np = math.ceil(N / tile_q) * tile_q
+    Mp = math.ceil(M / tile) * tile
+    nq = Np // tile_q
+    # the chunk must DIVIDE Mp: largest tile-multiple divisor <= request
+    chunk = max(c for c in range(tile, min(chunk, Mp) + 1, tile)
+                if Mp % c == 0)
+    hg = _auto_head_group_fb2c(H, tile_q, Mp, D, head_group, chunk)
+    G = H // hg
+    vw = D + FB2C_VW
+
+    def regroup(x, L_, W):
+        return x.reshape(B * G, hg, L_, W)
+
+    def l2n_scaled(t, sc):
+        n = jnp.sqrt(jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
+                             keepdims=True))
+        return (t.astype(jnp.float32) / jnp.maximum(n, 1e-12)) * sc
+
+    qsf = jnp.asarray(q_scale, jnp.float32)
+    ksf = jnp.asarray(k_scale, jnp.float32)
+    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    qp = regroup(_pad_to(q, Np, 2), Np, D)
+    kp = regroup(_pad_to(kf, Mp, 2), Mp, D)
+    # V with the denominator ones-column at index D, lane width D+VW
+    vext = jnp.concatenate(
+        [v.astype(jnp.float32),
+         jnp.ones(v.shape[:-1] + (1,), jnp.float32),
+         jnp.zeros(v.shape[:-1] + (FB2C_VW - 1,), jnp.float32)],
+        axis=-1).astype(v.dtype)
+    vp = regroup(_pad_to(vext, Mp, 2), Mp, vw)
+    nkv = jnp.asarray(null_kv, jnp.float32)
+    nkv = jnp.stack([l2n_scaled(nkv[0], ksf), nkv[1]])
+    nkv = nkv.reshape(2, G, hg, D).transpose(1, 2, 0, 3)  # (G, hg, 2, D)
+    scales = jnp.stack([qsf * sm_scale * LOG2E, ksf])     # (2, D)
+
+    cos_bound = sm_scale * jnp.max(jnp.abs(qsf * ksf))
+    bias_f = (jnp.zeros((N, M), jnp.float32) if bias is None
+              else jnp.asarray(bias, jnp.float32))
+    rowbound = cos_bound + jnp.maximum(jnp.max(bias_f, axis=1), 0.0)  # (N,)
+    # bf16 strip holding ONLY the centered bias (the per-row rowbound
+    # shift is applied in-kernel from the fp32 rb vector — folding it
+    # into the strip would magnify the bf16 step by the large common
+    # offset). Halves the dominant HBM cost of the kernel.
+    biasfb = jnp.pad(bias_f * LOG2E, ((0, Np - N), (0, Mp - M)),
+                     constant_values=NEG_INF)[None]       # (1, Np, Mp)
+    biasfb = biasfb.astype(jnp.bfloat16)
+    rbp = _pad_to(rowbound[None] * LOG2E, Np, 1)[..., None]  # (1, Np, 1)
+    keep_arr = (jnp.ones((B,), jnp.int32) if keep is None
+                else jnp.asarray(keep).astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * G, nq),
+        in_specs=[
+            pl.BlockSpec((1, hg, tile_q, D), lambda g, qi, kk: (g, 0, qi, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, Mp, vw), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, 2, D),
+                         lambda g, qi, kk, G=G: (g % G, 0, 0, 0)),
+            pl.BlockSpec((2, D), lambda g, qi, kk: (0, 0)),
+            pl.BlockSpec((1, tile_q, Mp), lambda g, qi, kk: (0, qi, 0)),
+            pl.BlockSpec((1, tile_q, 1), lambda g, qi, kk: (0, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hg, tile_q, D),
+                               lambda g, qi, kk: (g, 0, qi, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_qknorm_kernel_fb2c, d_model=D, groups_per_batch=G,
+                chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * G, hg, Np, D), q.dtype),
+        # the default 16MB scoped-vmem budget is a compiler default, not
+        # the v5e's 128MB physical VMEM: hg=8 with the resident K/V
+        # slabs measures 16.02MB — raise the scope instead of shrinking
+        # the head group (the whole point of this kernel)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(keep_arr, qp, kp, vp, nkv, scales, biasfb, rbp)
+    return out.reshape(B, H, Np, D)[:, :, :N]
+
+
 def _auto_head_group_fb2(H: int, tile_q: int, Mp: int, D: int,
                          requested: int, budget_bytes: int = 15 << 20) -> int:
     """VMEM-budgeted head group for fb2: score strip fp32 + bf16 copy
@@ -1037,6 +1230,7 @@ def make_cosine_attention_nhd(sm_scale: float = 8.0,
 _COSINE_FWD_NAMES = {
     "fb": "fused_cosine_attention_fwd_fb",
     "fb2": "fused_cosine_attention_fwd_fb2",
+    "fb2c": "fused_cosine_attention_fwd_fb2c",
     "strip": "fused_cosine_attention_fwd_strip",
     "chunked": "fused_cosine_attention_fwd",
 }

@@ -232,6 +232,51 @@ def test_fused_cosine_fb_large_bias_range(variant):
     np.testing.assert_allclose(out, ref, atol=3e-4)
 
 
+@pytest.mark.parametrize("keep", [None, "flags"])
+def test_fused_cosine_fb2c_matches_dense_no_bias(keep):
+    """fb2c (chunked fixed-bound kernel) at bias=None is EXACTLY the
+    fb2 math: the bf16-quantized uniform 2^-rb factor cancels in the
+    normalization (rb and the constant strip quantize identically), so
+    it must match the fp32 dense reference to fp accuracy. M=300 ->
+    Mp=384, chunk=128 -> 3 chunks exercises the unrolled loop."""
+    q, k, v, nkv, qs, ks, bias = cosine_case(M=300)
+    keep_arr = jnp.asarray([1, 0], jnp.int32) if keep else None
+    out = np.asarray(fa.fused_cosine_attention_fwd_fb2c(
+        q, k, v, nkv, qs, ks, None, keep_arr, sm_scale=8.0, chunk=128,
+        interpret=True))
+    ref = np.asarray(dense_cosine_reference(
+        q, k, v, nkv, qs, ks, jnp.zeros_like(bias), keep_arr))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_fused_cosine_fb2c_bias_bf16_rounding_bounded():
+    """With a bias, fb2c's strip is bf16: per-column bias rounding is
+    the ONLY delta vs fb2 — bounded by the bf16 relative step on the
+    (bias - rowbound) log2 gap, which for the softmax-dominant columns
+    (gap near 0) is far below the pipeline's bf16 compute noise. Lock
+    both the closeness to the fp32 dense reference and the exact
+    equality once the dense path sees the same quantized bias."""
+    q, k, v, nkv, qs, ks, bias = cosine_case(M=300)
+    out = np.asarray(fa.fused_cosine_attention_fwd_fb2c(
+        q, k, v, nkv, qs, ks, bias, None, sm_scale=8.0, chunk=128,
+        interpret=True))
+    ref = np.asarray(dense_cosine_reference(q, k, v, nkv, qs, ks, bias,
+                                            None))
+    # bf16 rounding of a ~N(0,1) bias perturbs weights by ~2^-9 * |bias|
+    # in log2 units — the same order as the bf16 QK-dot noise the TPU
+    # pipeline already carries
+    np.testing.assert_allclose(out, ref, atol=8e-3)
+    # the quantized-bias dense reference: the kernel stores ONLY the
+    # centered bias in bf16 (the per-row bound stays fp32 and cancels
+    # uniformly in the normalization), so the exact delta is
+    # bf16(bias * log2e) / log2e
+    bq = ((bias * fa.LOG2E).astype(jnp.bfloat16).astype(jnp.float32)
+          / fa.LOG2E)
+    refq = np.asarray(dense_cosine_reference(q, k, v, nkv, qs, ks, bq,
+                                             None))
+    np.testing.assert_allclose(out, refq, atol=4e-4)
+
+
 def test_fused_cosine_chunked_equals_strip():
     """The chunked kernel and the original strip kernel are the same
     math — outputs must agree to fp rounding on identical inputs."""
@@ -322,6 +367,9 @@ def test_cosine_dispatch_gradients_no_bias_interpret(monkeypatch):
                                 interpret=True))
     monkeypatch.setattr(fa, "fused_cosine_attention_fwd_fb2",
                         partial(fa.fused_cosine_attention_fwd_fb2,
+                                interpret=True))
+    monkeypatch.setattr(fa, "fused_cosine_attention_fwd_fb2c",
+                        partial(fa.fused_cosine_attention_fwd_fb2c,
                                 interpret=True))
     monkeypatch.setattr(fa, "fused_bias_attention_bwd",
                         partial(fa.fused_bias_attention_bwd,
