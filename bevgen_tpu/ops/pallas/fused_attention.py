@@ -502,7 +502,9 @@ def _qknorm_kernel_fb2c(keep_ref, q_ref, k_ref, v_ref, null_ref,
     computed `chunk` columns at a time with a PLAIN accumulation —
     the fixed bound makes every exp2 term final (no running max, no
     alpha-rescale recurrence that sank the round-2 chunked kernel).
-    The chunk loop is a static Python unroll (nchunks is static).
+    The chunk loop is a static-trip fori_loop (NOT a Python unroll —
+    see the comment at the loop: unrolling keeps every chunk's fp32
+    score transient live at once and blows the VMEM budget).
 
     Shrinking the transient from O(Mp) to O(chunk) is what lets the
     head group DOUBLE (4 -> 8 at decode shapes). The shared camera-bias
@@ -574,12 +576,33 @@ def _qknorm_kernel_fb2c(keep_ref, q_ref, k_ref, v_ref, null_ref,
 FB2C_VW = 8
 
 
+def _vmem_scope_bytes() -> int:
+    """VMEM scope to request from the Mosaic compiler on the local
+    device. v4/v5/v6-generation chips carry 128MB physical VMEM — scope
+    100MB (headroom for the compiler's own buffers); unknown or older
+    kinds fall back to the 16MB compiler default so the pallas_call
+    degrades to a smaller head group instead of failing at compile."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    if any(tag in kind for tag in ("v4", "v5", "v6", "v7")):
+        return 100 << 20
+    return 16 << 20
+
+
 def _auto_head_group_fb2c(H: int, tile_q: int, Mp: int, D: int,
                           requested: int, chunk: int,
-                          budget_bytes: int = 44 << 20) -> int:
+                          budget_bytes: Optional[int] = None) -> int:
     """VMEM-budgeted head group for fb2c: resident K (D) + V (D+VW)
     slabs (double-buffered), chunk-sized fp32/bf16 score transients,
-    fp32 accumulator, q block."""
+    fp32 accumulator, q block. The budget tracks the scoped VMEM limit
+    actually requested from the compiler (44% of it — the measured
+    16.02MB@hg=8 working set vs the 36MB estimate this formula gives,
+    i.e. the formula over-counts ~2.2x and 44% keeps hg=8 at decode
+    shapes on a 100MB scope while degrading on 16MB-class devices)."""
+    if budget_bytes is None:
+        budget_bytes = int(_vmem_scope_bytes() * 0.44)
     vw = D + FB2C_VW
     per_head = (2 * Mp * D * 2                # K, double-buffered
                 + 2 * Mp * vw * 2             # V+ones, double-buffered
@@ -607,7 +630,9 @@ def fused_cosine_attention_fwd_fb2c(q, k, v, null_kv, q_scale, k_scale,
     Mp = math.ceil(M / tile) * tile
     nq = Np // tile_q
     # the chunk must DIVIDE Mp: largest tile-multiple divisor <= request
-    chunk = max(c for c in range(tile, min(chunk, Mp) + 1, tile)
+    # (clamped up to one tile so a sub-tile request degrades to the
+    # minimum legal chunk instead of an empty-sequence max())
+    chunk = max(c for c in range(tile, min(max(chunk, tile), Mp) + 1, tile)
                 if Mp % c == 0)
     hg = _auto_head_group_fb2c(H, tile_q, Mp, D, head_group, chunk)
     G = H // hg
@@ -677,8 +702,11 @@ def fused_cosine_attention_fwd_fb2c(q, k, v, null_kv, q_scale, k_scale,
         # the default 16MB scoped-vmem budget is a compiler default, not
         # the v5e's 128MB physical VMEM: hg=8 with the resident K/V
         # slabs measures 16.02MB — raise the scope instead of shrinking
-        # the head group (the whole point of this kernel)
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        # the head group (the whole point of this kernel). Derived from
+        # the device generation; 16MB-class devices keep the default and
+        # _auto_head_group_fb2c shrinks hg to match.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_scope_bytes()),
         interpret=interpret,
     )(keep_arr, qp, kp, vp, nkv, scales, biasfb, rbp)
     return out.reshape(B, H, Np, D)[:, :, :N]
@@ -954,8 +982,9 @@ def fused_cosine_attention_fwd(q, k, v, null_kv, q_scale, k_scale,
     Mp = math.ceil(M / tile) * tile
     # the kv chunk must DIVIDE Mp — padding Mp up to a chunk multiple
     # instead costs real HBM+FLOPs (1792 -> 2048 at chunk=512, measured
-    # VMEM OOM at B=16). Largest 128-multiple divisor <= requested:
-    chunk = max(c for c in range(tile, min(chunk, Mp) + 1, tile)
+    # VMEM OOM at B=16). Largest 128-multiple divisor <= requested
+    # (clamped up to one tile so a sub-tile request stays legal):
+    chunk = max(c for c in range(tile, min(max(chunk, tile), Mp) + 1, tile)
                 if Mp % c == 0)
     nq = Np // tile_q
     hg = _auto_head_group_chunked(H, tile_q, Mp, D, head_group, chunk)
