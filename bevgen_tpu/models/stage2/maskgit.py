@@ -69,21 +69,38 @@ class MaskGit(nn.Module):
 
     def __call__(self, ids, cond_ids, intrinsics_inv, extrinsics_inv,
                  cond_keep=None, deterministic: bool = True,
-                 self_cond_embed=None):
+                 self_cond_embed=None, cache=None):
         return self.transformer(ids, cond_ids, intrinsics_inv, extrinsics_inv,
                                 cond_keep, deterministic,
-                                self_cond_embed=self_cond_embed)
+                                self_cond_embed=self_cond_embed, cache=cache)
 
     def critic_logits(self, ids, cond_ids, intrinsics_inv, extrinsics_inv,
-                      cond_keep=None, deterministic: bool = True):
+                      cond_keep=None, deterministic: bool = True, cache=None):
         b, cam, hw = ids.shape
         if self.muse.token_critic:
             out = self.token_critic(ids, cond_ids, intrinsics_inv,
-                                    extrinsics_inv, cond_keep, deterministic)
+                                    extrinsics_inv, cond_keep, deterministic,
+                                    cache=cache)
             return out.logits[..., 0]
         out = self.transformer(ids, cond_ids, intrinsics_inv, extrinsics_inv,
-                               cond_keep, deterministic)
+                               cond_keep, deterministic, cache=cache)
         return self.critic(out.embed).reshape(b, cam, hw)
+
+    def build_cache(self, cond_ids, intrinsics_inv, extrinsics_inv):
+        """Step-invariant decode cache (see MultiViewTransformer): one
+        dict per transformer ('gen', and 'critic' for the TokenCritic
+        variant), built once per generate and replayed into all ~35
+        decode forwards."""
+        b = cond_ids.shape[0]
+        cfg = self.cfg
+        dummy = jnp.zeros((b, cfg.num_cams, cfg.num_cam_tokens), jnp.int32)
+        gen = self.transformer(dummy, cond_ids, intrinsics_inv,
+                               extrinsics_inv, return_cache=True)
+        crit = None
+        if self.muse.token_critic:
+            crit = self.token_critic(dummy, cond_ids, intrinsics_inv,
+                                     extrinsics_inv, return_cache=True)
+        return {"gen": gen, "critic": crit}
 
     def init_all(self, ids, cond_ids, intrinsics_inv, extrinsics_inv):
         """Touch every submodule so `init` creates the full param tree."""
@@ -106,7 +123,7 @@ def _cfg_batch(x):
 
 def cfg_logits(model: MaskGit, params, ids, cond_ids, ii, ei,
                cond_scale: float, self_cond_embed=None,
-               real_cfg: bool = False):
+               real_cfg: bool = False, cache=None):
     """Decode-step logits. Returns (logits, cond_embed); cond_embed
     feeds the next step's self-conditioning
     (muse_maskgit_pytorch.py:576-585).
@@ -127,7 +144,7 @@ def cfg_logits(model: MaskGit, params, ids, cond_ids, ii, ei,
     if not real_cfg:
         out: TransformerOutput = model.apply(
             params, ids, cond_ids, ii, ei, cond_keep=None,
-            self_cond_embed=self_cond_embed)
+            self_cond_embed=self_cond_embed, cache=cache)
         return out.logits.astype(jnp.float32), out.embed
     b = ids.shape[0]
     keep = jnp.concatenate([jnp.ones((b,), bool), jnp.zeros((b,), bool)])
@@ -142,7 +159,7 @@ def cfg_logits(model: MaskGit, params, ids, cond_ids, ii, ei,
 
 
 def cfg_critic(model: MaskGit, params, ids, cond_ids, ii, ei,
-               cond_scale: float, real_cfg: bool = False):
+               cond_scale: float, real_cfg: bool = False, cache=None):
     """Critic scores for re-masking (muse_maskgit_pytorch.py:602-607).
 
     Faithful semantics are cond-only in BOTH critic modes:
@@ -168,8 +185,10 @@ def cfg_critic(model: MaskGit, params, ids, cond_ids, ii, ei,
         scores = scores.astype(jnp.float32)
         cond, null = scores[:b], scores[b:]
         return null + (cond - null) * cond_scale
+    crit_cache = ((cache["critic"] if model.muse.token_critic
+                   else cache["gen"]) if cache is not None else None)
     scores = model.apply(params, ids, cond_ids, ii, ei,
-                         method=MaskGit.critic_logits)
+                         method=MaskGit.critic_logits, cache=crit_cache)
     return scores.astype(jnp.float32)
 
 
@@ -192,10 +211,16 @@ def gumbel_sample(rng, logits, temperature):
 
 def top_k_filter(logits, thres: float):
     """Keep the top ceil((1-thres)*V) logits, -inf elsewhere
-    (muse_maskgit_pytorch.py:453-458)."""
+    (muse_maskgit_pytorch.py:453-458).
+
+    The k-th-largest threshold comes from a VALUES-ONLY ascending sort:
+    jax.lax.top_k drags an s32 iota payload through a stable variadic
+    sort for indices this filter never uses (7.3 ms/step at the b16
+    decode shape — the largest single op in the scan body)."""
     v = logits.shape[-1]
     k = max(1, math.ceil((1 - thres) * v))
-    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    kth = jax.lax.slice_in_dim(jnp.sort(logits, axis=-1), v - k, v - k + 1,
+                               axis=-1)
     return jnp.where(logits < kth, -jnp.inf, logits)
 
 
@@ -259,6 +284,16 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
               noise=jnp.asarray(noise, jnp.float32),
               rngs=jax.random.split(rng, T))
 
+    # step-invariant decode cache: ray embedding, BEV context, camera
+    # bias, per-layer cross-attention K/V — built ONCE, closed over by
+    # the scan body (the reference recomputes it every forward). The
+    # real-CFG path runs at 2x batch with a dropped-cond half, which the
+    # 1x cache does not represent — it keeps the uncached path.
+    dec_cache = (None if muse.real_cfg else model.apply(
+        params, cond_ids, intrinsics_inv, extrinsics_inv,
+        method=MaskGit.build_cache))
+    gen_cache = dec_cache["gen"] if dec_cache is not None else None
+
     def body(carry, step, last=False):
         ids, scores, sc = carry
         rng_s, rng_g, rng_n = jax.random.split(step["rngs"], 3)
@@ -271,7 +306,7 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
         logits, embed = cfg_logits(model, params, ids, cond_ids,
                                    intrinsics_inv, extrinsics_inv,
                                    muse.cond_scale, self_cond_embed=sc,
-                                   real_cfg=muse.real_cfg)
+                                   real_cfg=muse.real_cfg, cache=gen_cache)
         if cfg.self_cond:
             sc = embed.astype(jnp.float32)
         filtered = top_k_filter(logits, muse.topk_filter_thres)
@@ -289,7 +324,7 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
         if use_critic:
             scores = cfg_critic(model, params, ids, cond_ids, intrinsics_inv,
                                 extrinsics_inv, muse.cond_scale,
-                                real_cfg=muse.real_cfg)
+                                real_cfg=muse.real_cfg, cache=dec_cache)
             u = jax.random.uniform(rng_n, scores.shape, jnp.float32)
             scores = scores + (u - 0.5) * step["noise"]
         else:

@@ -452,10 +452,14 @@ def _qknorm_kernel_fb2(keep_ref, q_ref, k_ref, v_ref, null_ref,
       precomputed bias strip host-side, so the kernel's transcendental
       is a bare exp2 with no multiply pass over the (hg, T, Mp) strip.
     * the softmax denominator comes out of the MXU instead of a
-      cross-lane VPU sum-reduce: V arrives with a ones-column appended
-      at index D (lane width 2D), so e @ [V | 1] yields AV and the
-      per-row sum in ONE dot — the AV output at D=64 fills half the
-      128 MXU lanes, so widening to 2D=128 is free on the MXU.
+      cross-lane VPU sum-reduce: a ones-column is appended to V
+      IN-KERNEL (a VMEM-resident copy, ~nothing), so e @ [V | 1]
+      yields AV and the per-row sum in ONE dot — the AV output at
+      D=64 fills half the 128 MXU lanes, so the extra column is free
+      on the MXU. V arrives RAW from HBM (round 3 built [V | 1 | 0pad]
+      host-side, which cost a full concat+convert pass over V in HBM
+      per call — measured 182 ms/b16-generate — plus 12% more V
+      traffic; moving the append into VMEM removes both).
 
     Remaining strip passes: add(bias) + add(keep scalar) + exp2 +
     cast — the minimum this softmax can express.
@@ -483,7 +487,11 @@ def _qknorm_kernel_fb2(keep_ref, q_ref, k_ref, v_ref, null_ref,
                                  preferred_element_type=jnp.float32)
     e_null = jnp.exp2(s_null - rb_ref[0][None])          # (hg, T, 1)
 
-    ov = jax.lax.dot_general(e.astype(v_ref.dtype), v_ref[0],
+    # ones-column appended to V in VMEM (raw V from HBM) — the MXU
+    # denominator at zero HBM cost; output lanes pad to 128 either way
+    vx = jnp.concatenate(
+        [v_ref[0], jnp.ones(v_ref.shape[1:3] + (1,), v_ref.dtype)], -1)
+    ov = jax.lax.dot_general(e.astype(vx.dtype), vx,
                              (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     num = ov[..., :d_model] + e_null * nv
@@ -518,12 +526,11 @@ def _qknorm_kernel_fb2c(keep_ref, q_ref, k_ref, v_ref, null_ref,
     error lands well inside the bf16 tolerance the pipeline already
     carries (tests/test_fused_attention.py locks this vs fp32 dense).
 
-    v_ref is V with a ones-column at index d_model, padded to 72 lanes
-    (not 2D=128): the AV dot's MXU cost is identical (output lanes pad
-    to 128 either way) but HBM V traffic drops 44%."""
+    v_ref is RAW V (D lanes); the denominator ones-column is appended
+    per-chunk in VMEM (see _qknorm_kernel_fb2 — removes the host-side
+    concat pass and the widened HBM V traffic of the round-3 layout)."""
     b = pl.program_id(0) // groups_per_batch
     mp = k_ref.shape[2]
-    vw = v_ref.shape[3]
 
     qsc = scale_ref[0].astype(jnp.float32)    # q_scale * sm_scale * LOG2E
     q = (_l2n(q_ref[0].astype(jnp.float32)) * qsc).astype(o_ref.dtype)
@@ -558,22 +565,18 @@ def _qknorm_kernel_fb2c(keep_ref, q_ref, k_ref, v_ref, null_ref,
         bc = bias_ref[0, :, pl.ds(off, chunk)].astype(jnp.float32)
         e = jnp.exp2(s + (bc[None] + rbka[None]))        # (hg, T, chunk)
         vc = v_ref[0, :, pl.ds(off, chunk), :]
+        vx = jnp.concatenate(
+            [vc, jnp.ones(vc.shape[:-1] + (1,), vc.dtype)], -1)
         return acc + jax.lax.dot_general(
-            e.astype(vc.dtype), vc, (((2,), (1,)), ((0,), (0,))),
+            e.astype(vx.dtype), vx, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, mp // chunk, step,
-                            jnp.zeros((hg, T, vw), jnp.float32))
+                            jnp.zeros((hg, T, d_model + 1), jnp.float32))
 
     num = acc[..., :d_model] + e_null * nv
     den = acc[..., d_model:d_model + 1] + e_null
     o_ref[0] = (num / den).astype(o_ref.dtype)
-
-
-# V carries a ones-column at index D for the MXU denominator; padding
-# the lane width to 72 (not 2D) keeps the dot shape MXU-equivalent
-# (output lanes pad to 128 regardless) at 44% less HBM V traffic
-FB2C_VW = 8
 
 
 def _vmem_scope_bytes() -> int:
@@ -594,20 +597,21 @@ def _vmem_scope_bytes() -> int:
 def _auto_head_group_fb2c(H: int, tile_q: int, Mp: int, D: int,
                           requested: int, chunk: int,
                           budget_bytes: Optional[int] = None) -> int:
-    """VMEM-budgeted head group for fb2c: resident K (D) + V (D+VW)
-    slabs (double-buffered), chunk-sized fp32/bf16 score transients,
-    fp32 accumulator, q block. The budget tracks the scoped VMEM limit
-    actually requested from the compiler (44% of it — the measured
-    16.02MB@hg=8 working set vs the 36MB estimate this formula gives,
-    i.e. the formula over-counts ~2.2x and 44% keeps hg=8 at decode
-    shapes on a 100MB scope while degrading on 16MB-class devices)."""
+    """VMEM-budgeted head group for fb2c: resident K + raw V slabs
+    (double-buffered), chunk-sized fp32/bf16 score transients + the
+    per-chunk [V|1] concat, fp32 accumulator, q block. The budget
+    tracks the scoped VMEM limit actually requested from the compiler
+    (44% of it — the measured 16.02MB@hg=8 working set vs the 36MB
+    estimate this formula gives, i.e. the formula over-counts ~2.2x
+    and 44% keeps hg=8 at decode shapes on a 100MB scope while
+    degrading on 16MB-class devices)."""
     if budget_bytes is None:
         budget_bytes = int(_vmem_scope_bytes() * 0.44)
-    vw = D + FB2C_VW
     per_head = (2 * Mp * D * 2                # K, double-buffered
-                + 2 * Mp * vw * 2             # V+ones, double-buffered
+                + 2 * Mp * D * 2              # V raw, double-buffered
                 + tile_q * chunk * (4 + 2)    # s fp32 + e bf16 transient
-                + tile_q * vw * 4             # accumulator
+                + chunk * (D + 1) * 2         # per-chunk [V|1] concat
+                + tile_q * (D + 1) * 4        # accumulator
                 + tile_q * D * (2 * 2 + 4))   # q block dbl-buf + fp32 temp
     fixed = tile_q * Mp * 2 * 2               # bf16 bias strip, dbl-buffered
     hg = math.gcd(requested, H)
@@ -621,7 +625,8 @@ def fused_cosine_attention_fwd_fb2c(q, k, v, null_kv, q_scale, k_scale,
                                     sm_scale: float = 8.0,
                                     tile: int = 128, head_group: int = 8,
                                     tile_q: int = 128, chunk: int = 256,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    k_prenormed: bool = False):
     """Chunked exp2 fixed-bound cosine attention (_qknorm_kernel_fb2c).
     Same contract as the other cosine forwards."""
     B, H, N, D = q.shape
@@ -636,7 +641,6 @@ def fused_cosine_attention_fwd_fb2c(q, k, v, null_kv, q_scale, k_scale,
                 if Mp % c == 0)
     hg = _auto_head_group_fb2c(H, tile_q, Mp, D, head_group, chunk)
     G = H // hg
-    vw = D + FB2C_VW
 
     def regroup(x, L_, W):
         return x.reshape(B * G, hg, L_, W)
@@ -648,16 +652,12 @@ def fused_cosine_attention_fwd_fb2c(q, k, v, null_kv, q_scale, k_scale,
 
     qsf = jnp.asarray(q_scale, jnp.float32)
     ksf = jnp.asarray(k_scale, jnp.float32)
-    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    kf = k.astype(q.dtype) if k_prenormed else \
+        l2n_scaled(k, ksf).astype(q.dtype)
     qp = regroup(_pad_to(q, Np, 2), Np, D)
     kp = regroup(_pad_to(kf, Mp, 2), Mp, D)
-    # V with the denominator ones-column at index D, lane width D+VW
-    vext = jnp.concatenate(
-        [v.astype(jnp.float32),
-         jnp.ones(v.shape[:-1] + (1,), jnp.float32),
-         jnp.zeros(v.shape[:-1] + (FB2C_VW - 1,), jnp.float32)],
-        axis=-1).astype(v.dtype)
-    vp = regroup(_pad_to(vext, Mp, 2), Mp, vw)
+    # V raw — the denominator ones-column is appended per-chunk in VMEM
+    vp = regroup(_pad_to(v, Mp, 2), Mp, D)
     nkv = jnp.asarray(null_kv, jnp.float32)
     nkv = jnp.stack([l2n_scaled(nkv[0], ksf), nkv[1]])
     nkv = nkv.reshape(2, G, hg, D).transpose(1, 2, 0, 3)  # (G, hg, 2, D)
@@ -684,7 +684,7 @@ def fused_cosine_attention_fwd_fb2c(q, k, v, null_kv, q_scale, k_scale,
         in_specs=[
             pl.BlockSpec((1, hg, tile_q, D), lambda g, qi, kk: (g, 0, qi, 0)),
             pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
-            pl.BlockSpec((1, hg, Mp, vw), lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
             pl.BlockSpec((1, hg, 2, D),
                          lambda g, qi, kk, G=G: (g % G, 0, 0, 0)),
             pl.BlockSpec((2, D), lambda g, qi, kk: (0, 0)),
@@ -715,10 +715,12 @@ def fused_cosine_attention_fwd_fb2c(q, k, v, null_kv, q_scale, k_scale,
 def _auto_head_group_fb2(H: int, tile_q: int, Mp: int, D: int,
                          requested: int, budget_bytes: int = 15 << 20) -> int:
     """VMEM-budgeted head group for fb2: score strip fp32 + bf16 copy
-    for the AV dot, double-buffered K (D wide) and Vext (2D wide)."""
+    for the AV dot, double-buffered K and raw V, plus the in-kernel
+    [V|1] concat transient."""
     per_head = (tile_q * Mp * (4 + 2)        # e fp32 + bf16 cast
                 + 2 * Mp * D * 2             # K, double-buffered
-                + 2 * Mp * 2 * D * 2)        # Vext (2D wide), dbl-buffered
+                + 2 * Mp * D * 2             # V raw, double-buffered
+                + Mp * (D + 1) * 2)          # in-kernel [V|1] transient
     fixed = tile_q * Mp * 4 * 2              # bias strip, double-buffered
     hg = math.gcd(requested, H)
     while hg > 1 and hg * per_head + fixed > budget_bytes:
@@ -731,7 +733,8 @@ def fused_cosine_attention_fwd_fb2(q, k, v, null_kv, q_scale, k_scale,
                                    sm_scale: float = 8.0,
                                    tile: int = 128, head_group: int = 8,
                                    tile_q: int = 128,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   k_prenormed: bool = False):
     """exp2 + MXU-denominator fixed-bound cosine attention (see
     _qknorm_kernel_fb2). Same contract as the other cosine forwards."""
     B, H, N, D = q.shape
@@ -752,17 +755,13 @@ def fused_cosine_attention_fwd_fb2(q, k, v, null_kv, q_scale, k_scale,
 
     qsf = jnp.asarray(q_scale, jnp.float32)
     ksf = jnp.asarray(k_scale, jnp.float32)
-    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    kf = k.astype(q.dtype) if k_prenormed else \
+        l2n_scaled(k, ksf).astype(q.dtype)
     qp = regroup(_pad_to(q, Np, 2), Np, D)
     kp = regroup(_pad_to(kf, Mp, 2), Mp, D)
-    # V with the denominator ones-column at index D (zeros beyond, so
-    # generic D keeps a 2D-wide lane layout)
-    vext = jnp.concatenate(
-        [v.astype(jnp.float32),
-         jnp.ones(v.shape[:-1] + (1,), jnp.float32),
-         jnp.zeros(v.shape[:-1] + (D - 1,), jnp.float32)],
-        axis=-1).astype(v.dtype)
-    vp = regroup(_pad_to(vext, Mp, 2), Mp, 2 * D)
+    # V raw — the denominator ones-column is appended in-kernel (VMEM),
+    # so there is no host-side concat pass or widened HBM V traffic
+    vp = regroup(_pad_to(v, Mp, 2), Mp, D)
     nkv = jnp.asarray(null_kv, jnp.float32)
     nkv = jnp.stack([l2n_scaled(nkv[0], ksf), nkv[1]])
     nkv = nkv.reshape(2, G, hg, D).transpose(1, 2, 0, 3)  # (G, hg, 2, D)
@@ -787,8 +786,7 @@ def fused_cosine_attention_fwd_fb2(q, k, v, null_kv, q_scale, k_scale,
         in_specs=[
             pl.BlockSpec((1, hg, tile_q, D), lambda g, qi, kk: (g, 0, qi, 0)),
             pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
-            pl.BlockSpec((1, hg, Mp, 2 * D),
-                         lambda g, qi, kk: (g, 0, 0, 0)),
+            pl.BlockSpec((1, hg, Mp, D), lambda g, qi, kk: (g, 0, 0, 0)),
             pl.BlockSpec((1, hg, 2, D),
                          lambda g, qi, kk, G=G: (g % G, 0, 0, 0)),
             pl.BlockSpec((2, D), lambda g, qi, kk: (0, 0)),
@@ -812,7 +810,8 @@ def fused_cosine_attention_fwd_fb(q, k, v, null_kv, q_scale, k_scale,
                                   sm_scale: float = 8.0,
                                   tile: int = 128, head_group: int = 8,
                                   tile_q: int = 128,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  k_prenormed: bool = False):
     """Fixed-bound-softmax cosine attention (see _qknorm_kernel_fb).
     Same contract as fused_cosine_attention_fwd_strip."""
     B, H, N, D = q.shape
@@ -833,7 +832,8 @@ def fused_cosine_attention_fwd_fb(q, k, v, null_kv, q_scale, k_scale,
 
     qsf = jnp.asarray(q_scale, jnp.float32)
     ksf = jnp.asarray(k_scale, jnp.float32)
-    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    kf = k.astype(q.dtype) if k_prenormed else \
+        l2n_scaled(k, ksf).astype(q.dtype)
     qp = regroup(_pad_to(q, Np, 2), Np)
     kp = regroup(_pad_to(kf, Mp, 2), Mp)
     vp = regroup(_pad_to(v, Mp, 2), Mp)
@@ -966,6 +966,7 @@ def fused_cosine_attention_fwd(q, k, v, null_kv, q_scale, k_scale,
                                bias=None, keep=None, sm_scale: float = 8.0,
                                tile: int = 128, head_group: int = 8,
                                tile_q: int = 128, interpret: bool = False,
+                               k_prenormed: bool = False,
                                chunk: int = 256):
     """q: (B, H, N, D) RAW (pre-norm); k, v: (B, H, M, D) RAW without the
     null column; null_kv: (2, H, 1, D); q_scale/k_scale: (D,);
@@ -999,7 +1000,8 @@ def fused_cosine_attention_fwd(q, k, v, null_kv, q_scale, k_scale,
         return (t.astype(jnp.float32) / jnp.maximum(n, 1e-12)) * sc
 
     ksf = jnp.asarray(k_scale, jnp.float32)
-    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    kf = k.astype(q.dtype) if k_prenormed else \
+        l2n_scaled(k, ksf).astype(q.dtype)
     qp = regroup(_pad_to(q, Np, 2), Np)
     kp = regroup(_pad_to(kf, Mp, 2), Mp)
     vp = regroup(_pad_to(v, Mp, 2), Mp)
@@ -1049,7 +1051,8 @@ def fused_cosine_attention_fwd_strip(q, k, v, null_kv, q_scale, k_scale,
                                      sm_scale: float = 8.0,
                                      tile: int = 128, head_group: int = 8,
                                      tile_q: int = 128,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     k_prenormed: bool = False):
     """The original strip-materializing cosine kernel (_qknorm_kernel):
     holds the full (hg, tile_q, Mp) fp32 score strip, which capped the
     head group at 4 at decode shapes. Kept for A/B measurement against
@@ -1071,7 +1074,8 @@ def fused_cosine_attention_fwd_strip(q, k, v, null_kv, q_scale, k_scale,
         return (t.astype(jnp.float32) / jnp.maximum(n, 1e-12)) * sc
 
     ksf = jnp.asarray(k_scale, jnp.float32)
-    kf = l2n_scaled(k, ksf).astype(q.dtype)
+    kf = k.astype(q.dtype) if k_prenormed else \
+        l2n_scaled(k, ksf).astype(q.dtype)
     qp = regroup(_pad_to(q, Np, 2), Np)
     kp = regroup(_pad_to(kf, Mp, 2), Mp)
     vp = regroup(_pad_to(v, Mp, 2), Mp)
@@ -1275,14 +1279,20 @@ def cosine_kernel_choice() -> str:
 
 
 def make_cosine_attention(sm_scale: float = 8.0,
-                          use_pallas: Optional[bool] = None):
+                          use_pallas: Optional[bool] = None,
+                          k_prenormed: bool = False):
     """cos_attn(q, k, v, null_kv, q_scale, k_scale, bias, keep) -> out.
 
     Forward: one fully-fused Pallas kernel (norms + scales + null KV +
     bias + CFG keep + softmax + AV). Backward: the prologue is
     recomputed in XLA under jax.vjp and chained with the Pallas
     attention backward — training pays what it paid before this fusion,
-    the forward (both passes) gets cheaper."""
+    the forward (both passes) gets cheaper.
+
+    k_prenormed=True: k arrives ALREADY l2-normalized and k_scale-d
+    (the decode cache precomputes the step-invariant cross-attention K
+    once per generate — models/stage2/transformer.py); the wrappers
+    and dense path then skip the per-call K norm."""
 
     def _prologue(q, k, v, null_kv, q_scale, k_scale, bias):
         B, H = q.shape[0], q.shape[1]
@@ -1290,7 +1300,6 @@ def make_cosine_attention(sm_scale: float = 8.0,
         f32 = jnp.float32
         nk = jnp.broadcast_to(null_kv[0][None], (B, H, 1, D)).astype(q.dtype)
         nv = jnp.broadcast_to(null_kv[1][None], (B, H, 1, D)).astype(v.dtype)
-        kc = jnp.concatenate([nk, k], axis=2)
         vc = jnp.concatenate([nv, v], axis=2)
 
         def l2n(t):
@@ -1298,7 +1307,12 @@ def make_cosine_attention(sm_scale: float = 8.0,
             return t.astype(f32) / jnp.maximum(n, 1e-12)
 
         qf = (l2n(q) * q_scale).astype(q.dtype)
-        kf = (l2n(kc) * k_scale).astype(q.dtype)
+        if k_prenormed:
+            nkf = (l2n(nk) * k_scale).astype(q.dtype)
+            kf = jnp.concatenate([nkf, k.astype(q.dtype)], axis=2)
+        else:
+            kc = jnp.concatenate([nk, k], axis=2)
+            kf = (l2n(kc) * k_scale).astype(q.dtype)
         biasp = (None if bias is None
                  else jnp.pad(jnp.asarray(bias, f32), ((0, 0), (1, 0))))
         return qf, kf, vc, biasp
@@ -1316,7 +1330,7 @@ def make_cosine_attention(sm_scale: float = 8.0,
         fwd_fn = globals()[_COSINE_FWD_NAMES.get(
             cosine_kernel_choice(), "fused_cosine_attention_fwd_fb2")]
         return fwd_fn(q, k, v, null_kv, q_scale, k_scale, bias, keep,
-                      sm_scale=sm_scale)
+                      sm_scale=sm_scale, k_prenormed=k_prenormed)
 
     def fwd(q, k, v, null_kv, q_scale, k_scale, bias, keep):
         return (attn(q, k, v, null_kv, q_scale, k_scale, bias, keep),

@@ -188,3 +188,91 @@ def make_sharded_train_step(model: MaskGit, tx, mesh: Mesh,
     state = jax.tree_util.tree_map(_unalias, state)
     sharded_state = jax.device_put(state, state_sh)
     return jitted, sharded_state
+
+
+# ---------------------------------------------------------------------------
+# AR (SparseGPT) sharded training
+# ---------------------------------------------------------------------------
+
+
+class ARTrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_ar_train_state(params, tx: optax.GradientTransformation):
+    """params: the full flax variables dict {'params': ...}; the
+    optimizer state covers the inner 'params' tree (the decay-mask
+    partition in optim.maskgit_optimizer is built against it)."""
+    return ARTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                        opt_state=tx.init(params["params"]))
+
+
+def make_ar_sharded_train_step(model, tx, mesh: Mesh, state: ARTrainState):
+    """Sharded train step for the AR SparseGPT family.
+
+    The reference's AR path is data-parallel only (DDP / DeepSpeed
+    ZeRO-2 — SURVEY §2.8, no TP), so the whole loss+backward runs
+    inside ONE shard_map over the mesh's batch axes with params
+    replicated: the Pallas block-sparse attention kernel (fwd AND its
+    custom-vjp bwd) executes per-shard at local shapes — pallas_call
+    has no GSPMD partitioning rule, exactly like the MUSE attention
+    cores (CosineAttention.mesh). Gradients are pmean-ed across the
+    batch axes; the optimizer update then runs replicated inside the
+    same jit. Returns (jitted_step, sharded_state).
+
+    Replaces: the reference's torch.distributed layout broadcast +
+    DDP allreduce around DeepSpeed sparse attention
+    (sparse_self_attention.py:48-52, mingpt_sparse.py:240-253).
+    """
+    import inspect
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from bevgen_tpu.models.stage2.ar import ar_loss
+
+    sig_params = inspect.signature(shard_map).parameters
+    sm_kwargs = ({"check_vma": False} if "check_vma" in sig_params
+                 else {"check_rep": False})
+    baxes = shd.batch_axes(mesh)
+    bspec = P(baxes)
+    rep = P()
+
+    def local_grads(variables, tokens, cond, ii, ei):
+        rest = {k: v for k, v in variables.items() if k != "params"}
+        loss, grads = jax.value_and_grad(
+            lambda p: ar_loss(model, {"params": p, **rest}, tokens, cond,
+                              ii, ei, deterministic=True))(
+                                  variables["params"])
+        # equal per-shard batch sizes (shard_batch pads/validates), so
+        # the global mean is the mean of shard means
+        loss = jax.lax.pmean(loss, baxes)
+        grads = jax.lax.pmean(grads, baxes)
+        return loss, grads
+
+    grads_fn = shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(rep, bspec, bspec, bspec, bspec),
+        out_specs=(rep, rep), **sm_kwargs)
+
+    def train_step(state: ARTrainState, batch):
+        loss, grads = grads_fn(state.params, batch["tokens"],
+                               batch["cond_ids"], batch["intrinsics_inv"],
+                               batch["extrinsics_inv"])
+        inner = state.params["params"]
+        updates, opt_state = tx.update(grads, state.opt_state, inner)
+        new_inner = optax.apply_updates(inner, updates)
+        params = dict(state.params, params=new_inner)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return ARTrainState(state.step + 1, params, opt_state), metrics
+
+    rep_sh = NamedSharding(mesh, rep)
+    batch_sh = NamedSharding(mesh, P(baxes))
+    jitted = jax.jit(train_step,
+                     in_shardings=(rep_sh, batch_sh),
+                     out_shardings=(rep_sh, rep_sh),
+                     donate_argnums=(0,))
+    sharded_state = jax.device_put(state, rep_sh)
+    return jitted, sharded_state

@@ -160,3 +160,63 @@ def test_multislice_generate_identical_to_single_device(tiny_pipe):
         _, ids = run(p, s, i2, e2, rng)
 
     np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(ids))
+
+
+def _tiny_ar_setup():
+    from bevgen_tpu.core.config import MultiViewConfig
+    from bevgen_tpu.models.stage2.gpt import SparseGPT
+    from bevgen_tpu.training import optim, trainer
+
+    cfg = MultiViewConfig(
+        num_layers=2, num_heads=2, num_embed=64, hidden_size=64,
+        vocab_size=32, cond_vocab_size=32, num_cams=3,
+        cam_names="ARGOVERSE_FRONT_CAMERAS", dataset="argoverse",
+        cam_res=(32, 32), cam_latent_res=(4, 4), bev_latent_res=(4, 4),
+        window_len=4, sparse_block_size=8, density=0.8,
+        causal_order=True, camera_bias=True, image_embed=True,
+        bev_embed=False, legacy_prob_matrix=False)
+    model = SparseGPT(cfg)
+    b = 4
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(
+        0, cfg.vocab_size, (b, cfg.num_cams, cfg.num_cam_tokens)), jnp.int32)
+    cond = jnp.asarray(rng.integers(
+        0, cfg.cond_vocab_size, (b, cfg.num_cond_tokens)), jnp.int32)
+    from bevgen_tpu.models import geometry
+    ii, ei = map(jnp.asarray, geometry.canonical_rig_inverses(cfg, b))
+    batch = {"tokens": tokens, "cond_ids": cond,
+             "intrinsics_inv": ii, "extrinsics_inv": ei}
+    params = model.init(jax.random.PRNGKey(0), tokens, cond, ii, ei)
+    tx = optim.maskgit_optimizer(1e-4, warmup_steps=2, total_steps=10,
+                                 params_example=params["params"])
+    state = trainer.create_ar_train_state(params, tx)
+    return model, tx, state, batch
+
+
+def test_ar_sharded_train_step_matches_single_device():
+    """The AR SparseGPT sharded train step (whole-step shard_map over
+    the batch axes, grads pmean-ed — trainer.make_ar_sharded_train_step,
+    the dryrun's third line): a (dp=4) mesh and the degenerate (dp=1)
+    mesh must produce the same loss and updated params — data-parallel
+    splitting is numerically transparent at equal global batch."""
+    from bevgen_tpu.training import trainer
+
+    results = {}
+    for name, mesh in (
+            ("dp4", shd.make_mesh(dp=4, tp=1, devices=jax.devices()[:4])),
+            ("dp1", shd.make_mesh(dp=1, tp=1, devices=jax.devices()[:1]))):
+        model, tx, state, batch = _tiny_ar_setup()
+        step_fn, state = trainer.make_ar_sharded_train_step(model, tx, mesh,
+                                                            state)
+        with mesh:
+            sharded = shd.shard_batch(batch, mesh)
+            state, metrics = step_fn(state, sharded)
+        leaves = jax.tree_util.tree_leaves(
+            jax.device_get(state.params["params"]))
+        results[name] = (float(metrics["loss"]), leaves)
+
+    assert np.isfinite(results["dp4"][0])
+    np.testing.assert_allclose(results["dp4"][0], results["dp1"][0],
+                               rtol=1e-5)
+    for a, b in zip(results["dp4"][1], results["dp1"][1]):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
