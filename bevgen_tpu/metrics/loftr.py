@@ -56,9 +56,14 @@ EPS_LIN_ATTN = 1e-6
 
 
 def _conv(params, name, x, stride=1):
+    # torch Conv2d(padding=k//2) pads SYMMETRICALLY; XLA "SAME" at
+    # stride 2 pads (k//2 - 1, k//2), which shifts every strided conv
+    # by one input pixel (caught by the executed-torch equivalence
+    # suite, tests/test_loftr_ref.py) — pad explicitly
     w = params[f"{name}.weight"]  # (kh, kw, I, O) after conversion
+    k = w.shape[0]
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), "SAME",
+        x, w, (stride, stride), [(k // 2, k // 2)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -103,9 +108,25 @@ def _layer(params, name, x, stride):
 
 
 def _upsample2x(x):
-    """bilinear, align_corners=True (F.interpolate in the FPN)."""
+    """bilinear 2x with ALIGN_CORNERS=TRUE — what the FPN's
+    F.interpolate(..., align_corners=True) computes. jax.image.resize's
+    'bilinear' is half-pixel-centers (align_corners=False) and differs
+    everywhere except the corners (caught by tests/test_loftr_ref.py);
+    implemented as two separable gather-lerps on the exact
+    i*(n-1)/(2n-1) source coordinates."""
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
+
+    def lerp_axis(t, size, axis):
+        out = 2 * size
+        coords = jnp.arange(out, dtype=jnp.float32) * (size - 1) / (out - 1)
+        lo = jnp.floor(coords).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, size - 1)
+        frac = (coords - lo).reshape(
+            [-1 if a == axis else 1 for a in range(t.ndim)])
+        return (jnp.take(t, lo, axis=axis) * (1.0 - frac)
+                + jnp.take(t, hi, axis=axis) * frac)
+
+    return lerp_axis(lerp_axis(x, h, 1), w, 2)
 
 
 def _out_conv2(params, name, x):
