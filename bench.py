@@ -89,16 +89,30 @@ def measure(pipe, params, cfg, batch_size, reps, no_critic):
     return (n_images / statistics.median(times), n_images / min(times))
 
 
+AR_BASELINE_IMG_PER_S = 0.0639
+# ^ derived like the MUSE baseline (scripts_dev/derive_ar_baseline.py,
+# executed-reference FLOP counting): the reference AR sampler runs ONE
+# FULL GPT FORWARD PER TOKEN (cond_transformer_multi_view.py:172-227) =
+# 2100 x 1986.6 GFLOP = 695.3 TFLOP/image at the shipped nuScenes
+# config; A5000 fp16 peak x 0.40 MFU -> 0.0639 img/s. Our KV-cached
+# lax.scan decoder pays ~0.66 GFLOP/token instead — the ar_vs_reference
+# ratio below is dominated by that algorithmic win, throttled by the
+# sequential scan being device-op-LATENCY bound (see PERF_NOTES).
+
+
 def measure_ar(reps):
-    """AR-path rows (VERDICT r2 item 4): the full AR pipeline on chip
-    (BEV encode -> KV-cached sparse decode -> VQ pixel decode) at the
-    TPU-native 128-block preset, plus the train-step where the Pallas
+    """AR-path rows (VERDICT r2 item 4 + r3 item 6): the full AR
+    pipeline on chip (BEV encode -> KV-cached sparse decode -> VQ pixel
+    decode) at the TPU-native 128-block preset — batch sweep b2/b8 and
+    a derived reference anchor — plus the train-step where the Pallas
     block-sparse kernel engages, with kernel-vs-dense attribution at
     the exact (B, H, L, D) attention shapes.
 
     Reference anchors: sparse_self_attention.py:64-85 (the kernel this
-    path replaces) and scripts/inference.py:170-179 (the density-sweep
-    fwd+bwd micro-benchmarks that are the only published numbers)."""
+    path replaces), cond_transformer_multi_view.py:172-227 (the
+    per-token full-forward sampler the derived baseline charges), and
+    scripts/inference.py:170-179 (the density-sweep fwd+bwd
+    micro-benchmarks that are the only published numbers)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -136,22 +150,28 @@ def measure_ar(reps):
     # --- end-to-end AR serving (KV-cached decode applies the same
     # block layouts as per-row masks; the kernel runs in training and
     # full-forward paths where scores are matrix-shaped) -------------
-    b = int(os.environ.get("BENCH_AR_BATCH", "2"))
     pipe = ARPipeline.create(cfg, dtype=jnp.bfloat16)
     params = pipe.init_params(jax.random.PRNGKey(0))
-    batch = fake_batch(cfg, batch_size=b)
-    seg = jnp.asarray(batch["segmentation"])
-    ii = jnp.asarray(batch["intrinsics_inv"])
-    ei = jnp.asarray(batch["extrinsics_inv"])
     gen = jax.jit(lambda p, s, i1, i2, r: pipe.generate_fn(p, s, i1, i2, r))
-
     kr = iter(jax.random.split(jax.random.PRNGKey(7), 64))
 
-    def run_gen():
-        imgs, ids = gen(params, seg, ii, ei, next(kr))
-        np.asarray(ids[0, 0])
-    dt = timed(run_gen, max(2, min(reps, 3)))
-    out["ar_img_per_s"] = round(b * tf.num_cams / dt, 3)
+    sweep = [int(x) for x in os.environ.get(
+        "BENCH_AR_BATCHES", "2,8").split(",") if x]
+    for b in sweep:
+        batch = fake_batch(cfg, batch_size=b)
+        seg = jnp.asarray(batch["segmentation"])
+        ii = jnp.asarray(batch["intrinsics_inv"])
+        ei = jnp.asarray(batch["extrinsics_inv"])
+
+        def run_gen():
+            imgs, ids = gen(params, seg, ii, ei, next(kr))
+            np.asarray(ids[0, 0])
+        dt = timed(run_gen, max(2, min(reps, 3)))
+        ips = b * tf.num_cams / dt
+        key = "ar_img_per_s" if b == sweep[0] else f"ar_img_per_s_b{b}"
+        out[key] = round(ips, 3)
+        if b == sweep[0]:
+            out["ar_vs_reference"] = round(ips / AR_BASELINE_IMG_PER_S, 1)
 
     # --- train step (fwd+bwd) with the kernel active ------------------
     rng = np.random.default_rng(0)

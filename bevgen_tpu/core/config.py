@@ -176,6 +176,12 @@ class MultiViewConfig:
     # GSPMD partitioning rule, so it must not be left opaque inside the
     # GSPMD program (models/stage2/transformer.py CosineAttention.mesh).
     use_fused_attention: Optional[bool] = None
+    # fused residual+LayerNorm and GEGLU+LayerNorm Pallas passes
+    # (ops/pallas/fused_glue.py) — the round-4 elementwise-bucket cut.
+    # None = auto: on for single-device TPU inference at quant="none";
+    # off under a multi-device mesh (no GSPMD rule for pallas_call) and
+    # off-TPU. Checkpoint layout is identical either way.
+    use_fused_glue: Optional[bool] = None
 
     def __post_init__(self):
         assert self.dataset in DATASETS, self.dataset

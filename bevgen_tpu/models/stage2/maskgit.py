@@ -213,14 +213,15 @@ def top_k_filter(logits, thres: float):
     """Keep the top ceil((1-thres)*V) logits, -inf elsewhere
     (muse_maskgit_pytorch.py:453-458).
 
-    The k-th-largest threshold comes from a VALUES-ONLY ascending sort:
     jax.lax.top_k drags an s32 iota payload through a stable variadic
     sort for indices this filter never uses (7.3 ms/step at the b16
-    decode shape — the largest single op in the scan body)."""
+    decode shape) — but the values-only jnp.sort alternative MEASURED
+    SLIGHTLY SLOWER on TPU (156 vs 133 ms/b16-generate; XLA's TopK
+    emitter beats its generic sort even with the dead payload), so
+    top_k stays."""
     v = logits.shape[-1]
     k = max(1, math.ceil((1 - thres) * v))
-    kth = jax.lax.slice_in_dim(jnp.sort(logits, axis=-1), v - k, v - k + 1,
-                               axis=-1)
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)
 
 

@@ -77,19 +77,31 @@ class _ScaleParam(nn.Module):
 class LayerNormG(nn.Module):
     """Scale-only LayerNorm, eps 1e-5 (muse_maskgit_pytorch.py:62-69).
 
-    A single-pass Pallas kernel exists (ops/pallas/layernorm.py) but is
-    NOT wired by default: MEASURED SLOWER end-to-end (8.59 vs 9.2 img/s
-    batch-2 flagship; x8-chain microbench 4.97 vs 4.35 ms at the decode's
-    (32,1792,1024) shape — scripts_dev/bench_layernorm.py). A standalone
-    LN kernel forfeits XLA's fusion of the norm into the neighboring
-    residual-add/matmul epilogues, costing more HBM round trips than its
-    in-kernel MXU reduction saves. use_fused=True opts in for
-    experiments; checkpoints are layout-identical either way."""
+    A single-pass STANDALONE Pallas LN kernel exists
+    (ops/pallas/layernorm.py) but is NOT wired by default: MEASURED
+    SLOWER end-to-end (8.59 vs 9.2 img/s batch-2 flagship) — a
+    standalone LN kernel forfeits XLA's fusion of the norm into the
+    neighboring residual-add/matmul epilogues. use_fused=True opts in
+    for experiments.
+
+    `residual`: the round-4 FUSED path — returns
+    (x_new = dtype(x + residual), LN(x_new) * gamma) from ONE Pallas
+    pass (ops/pallas/fused_glue.py), removing the separate residual
+    round-trip and the LN-stats read pass (the single biggest
+    elementwise bucket in the b16 device budget). Falls back to plain
+    XLA ops off-TPU; checkpoints are layout-identical either way."""
     dtype: Dtype = jnp.float32
     use_fused: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
+        if residual is not None:
+            from bevgen_tpu.ops.pallas.fused_glue import (
+                make_residual_layernorm)
+            scale = _ScaleParam(x.shape[-1], name="norm")()
+            xd = x.astype(self.dtype)
+            return make_residual_layernorm(self.use_fused)(
+                xd, residual.astype(self.dtype), scale)
         use_fused = self.use_fused if self.use_fused is not None else False
         if use_fused and x.ndim >= 2 and x.shape[-2] >= 8:
             from bevgen_tpu.ops.pallas.layernorm import make_layernorm
@@ -185,7 +197,14 @@ class CosineAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, attn_bias=None,
-                 cached_kv=None, precompute_kv: bool = False):
+                 cached_kv=None, precompute_kv: bool = False,
+                 residual_delta=None, return_residual: bool = False):
+        """residual_delta/return_residual: the fused-glue calling
+        convention — x is the PRE-residual stream and residual_delta
+        the previous op's output; the module folds the residual add
+        into its LayerNorm (one Pallas pass, LayerNormG residual=) and
+        returns (x_new, attn_out) so the caller chains deltas without
+        ever materializing a separate residual op."""
         h, dh = self.heads, self.dim_head
         inner = h * dh
         dense = _make_dense(self.quant, self.dtype)
@@ -205,7 +224,12 @@ class CosineAttention(nn.Module):
             return kf, v
 
         b, n, _ = x.shape
-        x = LayerNormG(self.dtype, name="norm")(x)
+        if residual_delta is not None:
+            x_new, x = LayerNormG(self.dtype, name="norm")(
+                x, residual=residual_delta)
+        else:
+            x_new = x
+            x = LayerNormG(self.dtype, name="norm")(x)
 
         q = dense(inner, "to_q", static=True)(x)
         if cached_kv is None:
@@ -233,13 +257,24 @@ class CosineAttention(nn.Module):
         # two simple copies it replaces. Kept tested but not wired.
         q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
         if cached_kv is None:
-            # k/v come out of ONE (b, m, 2, h, dh) -> (2, b, h, m, dh)
-            # transpose instead of split + two transposes: the jnp.split
-            # materialized both halves as separate copies before the head
-            # transposes (measured 228 ms/b16-generate). Feature order is
-            # identical ([k | v] on the output axis = group dim 2 first).
-            kvt = kv.reshape(b, m, 2, h, dh).transpose(2, 0, 3, 1, 4)
-            k, v = kvt[0], kvt[1]
+            # split + two transposes. A single (b,m,2,h,dh)->(2,b,h,m,dh)
+            # transpose was tried (round 4) and MEASURED WORSE at b16:
+            # XLA materialized the 5-d permute PLUS two slice copies
+            # (+300 ms/generate) and the sliced K's layout forced an
+            # extra fp32 layout-change convert in the kernel wrapper's
+            # K-norm (+260 ms) — same lesson as the nhd entry above.
+            k, v = jnp.split(kv, 2, axis=-1)
+            # K l2norm + learned scale HERE, in the projection's natural
+            # (b, m, h, dh) layout, BEFORE the head transpose: the norm
+            # fuses into the to_kv epilogue and the transpose moves bf16
+            # bytes. Normalizing after the transpose (round-3 wrappers)
+            # made XLA materialize the fp32 norm output through a
+            # layout-change copy (+380 ms/b16-generate).
+            kr = k.reshape(b, m, h, dh).astype(jnp.float32)
+            norm = jnp.sqrt(jnp.sum(kr * kr, axis=-1, keepdims=True))
+            kf = (kr / jnp.maximum(norm, 1e-12) * k_scale).astype(self.dtype)
+            k = kf.transpose(0, 2, 1, 3)
+            v = v.reshape(b, m, h, dh).transpose(0, 2, 1, 3)
         else:
             k, v = cached_kv
             m = k.shape[2]
@@ -271,9 +306,10 @@ class CosineAttention(nn.Module):
                         else jnp.asarray(keep).astype(jnp.float32))
             bias_arr = (jnp.zeros((n, m), jnp.float32) if attn_bias is None
                         else jnp.asarray(attn_bias, jnp.float32))
+            # k arrives pre-normalized from BOTH sources (the in-layout
+            # norm above, or the decode cache)
             out = shard_map(
-                lambda *a: self._attention_core(
-                    *a, k_prenormed=cached_kv is not None),
+                lambda *a: self._attention_core(*a, k_prenormed=True),
                 mesh=self.mesh,
                 in_specs=(spec, spec, spec, P(None, "tp", None, None),
                           P(None), P(None), P(None, None), P(baxes)),
@@ -281,30 +317,107 @@ class CosineAttention(nn.Module):
             )(q, k, v, null_kv, q_scale, k_scale, bias_arr, keep_arr)
         else:
             out = self._attention_core(q, k, v, null_kv, q_scale, k_scale,
-                                       attn_bias, keep,
-                                       k_prenormed=cached_kv is not None)
+                                       attn_bias, keep, k_prenormed=True)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
-        return dense(self.dim, "to_out")(out)
+        out = dense(self.dim, "to_out")(out)
+        return (x_new, out) if return_residual else out
+
+
+class _NestedScale(nn.Module):
+    """The norm_mid gamma at its checkpoint path (<name>/norm/scale)
+    for the fused GEGLU+LN pass, which needs the raw vector."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _ScaleParam(self.dim, name="norm")()
+
+
+class _GegluProjIn(nn.Module):
+    """proj_in with the fused-glue PADDED output layout: owns the
+    checkpoint-identical (dim_in, 2*F) 'kernel' param but computes
+    x @ [pad(Wa) | pad(Wg)] so the a/gate halves land 128-lane-aligned
+    for the GEGLU+LN kernel (F=2730 is not a lane multiple; an
+    in-kernel unaligned slice would relayout every call, and padding
+    the ACTIVATIONS would cost a full extra pass over the biggest
+    tensor in the block). The weight pad/reorder is scan-invariant —
+    XLA hoists it out of the decode loop."""
+    features: int    # 2*F (real)
+    fpad: int        # padded half width (lane multiple)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[-1], self.features), jnp.float32)
+        f = self.features // 2
+        pad = self.fpad - f
+        kp = jnp.concatenate([
+            jnp.pad(k[:, :f], ((0, 0), (0, pad))),
+            jnp.pad(k[:, f:], ((0, 0), (0, pad)))], axis=-1)
+        return x @ kp.astype(self.dtype)
+
+
+class _GegluProjOut(nn.Module):
+    """proj_out consuming the PADDED normalized GEGLU output: the
+    checkpoint-identical (F, dim) 'kernel' param row-padded with zeros
+    to eat the pad lanes (which the kernel writes as exact zeros)."""
+    features: int    # dim
+    in_real: int     # F
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_real, self.features), jnp.float32)
+        kp = jnp.pad(k, ((0, z.shape[-1] - self.in_real), (0, 0)))
+        return z @ kp.astype(self.dtype)
 
 
 class GEGLUFeedForward(nn.Module):
     """LN -> Dense(2*inner) -> gate*gelu(x) -> LN -> Dense(dim)
-    (muse_maskgit_pytorch.py:71-88)."""
+    (muse_maskgit_pytorch.py:71-88).
+
+    use_glue: fuse [residual+norm_in] and [gate*gelu+norm_mid] into
+    single Pallas passes (ops/pallas/fused_glue.py) with the padded
+    projection layout; None = auto (TPU and quant=='none'). Params are
+    checkpoint-identical across all paths."""
     dim: int
     mult: int = 4
     dtype: Dtype = jnp.float32
     quant: str = "none"
+    use_glue: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual_delta=None, return_residual: bool = False):
         inner = int(self.dim * self.mult * 2 / 3)
         dense = _make_dense(self.quant, self.dtype)
-        h = LayerNormG(self.dtype, name="norm_in")(x)
-        h = dense(inner * 2, "proj_in", static=True)(h)
-        a, gate = jnp.split(h, 2, axis=-1)
-        h = gate * jax.nn.gelu(a, approximate=False)
-        h = LayerNormG(self.dtype, name="norm_mid")(h)
-        return dense(self.dim, "proj_out", static=True)(h)
+        use_glue = (self.use_glue if self.use_glue is not None
+                    else (jax.default_backend() == "tpu"
+                          and self.quant == "none"))
+        if residual_delta is not None:
+            x_new, h = LayerNormG(self.dtype, name="norm_in")(
+                x, residual=residual_delta)
+        else:
+            x_new = x
+            h = LayerNormG(self.dtype, name="norm_in")(x)
+        if use_glue and self.quant == "none":
+            from bevgen_tpu.ops.pallas.fused_glue import make_geglu_layernorm
+            fpad = -(-inner // 128) * 128
+            y = _GegluProjIn(inner * 2, fpad, self.dtype,
+                             name="proj_in")(h)
+            gamma = _NestedScale(inner, name="norm_mid")()
+            gamma_p = jnp.pad(gamma, (0, fpad - inner))
+            z = make_geglu_layernorm(inner)(y, gamma_p)
+            out = _GegluProjOut(self.dim, inner, self.dtype,
+                                name="proj_out")(z)
+        else:
+            h = dense(inner * 2, "proj_in", static=True)(h)
+            a, gate = jnp.split(h, 2, axis=-1)
+            h = gate * jax.nn.gelu(a, approximate=False)
+            h = LayerNormG(self.dtype, name="norm_mid")(h)
+            out = dense(self.dim, "proj_out", static=True)(h)
+        return (x_new, out) if return_residual else out
 
 
 class TransformerOutput(NamedTuple):
@@ -456,25 +569,46 @@ class MultiViewTransformer(nn.Module):
         Attn = nn.remat(CosineAttention) if cfg.remat else CosineAttention
         FF = (nn.remat(GEGLUFeedForward) if cfg.remat
               else GEGLUFeedForward)
-        for layer in range(cfg.num_layers):
-            x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
-                         dtype=self.dtype, quant=cfg.quant,
-                         use_fused=cfg.use_fused_attention,
-                         mesh=self.mesh,
-                         name=f"layers_{layer}_attn")(
-                             x, attn_bias=self_bias)
-            x = x + Attn(dim, cfg.dim_head, cfg.num_heads,
-                         dtype=self.dtype, quant=cfg.quant,
-                         use_fused=cfg.use_fused_attention,
-                         mesh=self.mesh,
-                         name=f"layers_{layer}_cross_attn")(
-                             x, context=context,
-                             context_mask=context_mask,
-                             attn_bias=cross_bias,
-                             cached_kv=cross_kv[layer])
-            x = x + FF(dim, cfg.ff_mult, dtype=self.dtype, quant=cfg.quant,
-                       name=f"layers_{layer}_ff")(x)
-        embed = LayerNormG(self.dtype, name="final_norm")(x)
+        # fused residual+LN glue (ops/pallas/fused_glue.py): every op
+        # takes (stream, previous delta) and folds the residual add
+        # into its LayerNorm — one Pallas pass instead of XLA's
+        # residual fusion + a separate LN-stats pass. Off under a
+        # multi-device mesh (pallas_call has no GSPMD rule) and for the
+        # int8 path (QuantDense's static scales read the XLA LN).
+        use_glue = (cfg.use_fused_glue if cfg.use_fused_glue is not None
+                    else (jax.default_backend() == "tpu"
+                          and cfg.quant == "none"
+                          and (self.mesh is None or self.mesh.size == 1)))
+        mk_attn = lambda name: Attn(dim, cfg.dim_head, cfg.num_heads,
+                                    dtype=self.dtype, quant=cfg.quant,
+                                    use_fused=cfg.use_fused_attention,
+                                    mesh=self.mesh, name=name)
+        mk_ff = lambda name: FF(dim, cfg.ff_mult, dtype=self.dtype,
+                                quant=cfg.quant, use_glue=use_glue,
+                                name=name)
+        if use_glue:
+            d = None
+            for layer in range(cfg.num_layers):
+                x, d = mk_attn(f"layers_{layer}_attn")(
+                    x, attn_bias=self_bias, residual_delta=d,
+                    return_residual=True)
+                x, d = mk_attn(f"layers_{layer}_cross_attn")(
+                    x, context=context, context_mask=context_mask,
+                    attn_bias=cross_bias, cached_kv=cross_kv[layer],
+                    residual_delta=d, return_residual=True)
+                x, d = mk_ff(f"layers_{layer}_ff")(
+                    x, residual_delta=d, return_residual=True)
+            _, embed = LayerNormG(self.dtype, name="final_norm")(
+                x, residual=d)
+        else:
+            for layer in range(cfg.num_layers):
+                x = x + mk_attn(f"layers_{layer}_attn")(
+                    x, attn_bias=self_bias)
+                x = x + mk_attn(f"layers_{layer}_cross_attn")(
+                    x, context=context, context_mask=context_mask,
+                    attn_bias=cross_bias, cached_kv=cross_kv[layer])
+                x = x + mk_ff(f"layers_{layer}_ff")(x)
+            embed = LayerNormG(self.dtype, name="final_norm")(x)
 
         dim_out = self.dim_out if self.dim_out is not None else cfg.vocab_size
         logits = _make_dense(cfg.quant, self.dtype)(

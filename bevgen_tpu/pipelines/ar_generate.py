@@ -59,8 +59,10 @@ class ARPipeline(NamedTuple):
             "gpt": self.gpt.init(r3, ids, cond, ii, ei),
         }
 
-    def quantized(self, params):
-        """int8-weight GPT serving tree (kept bf16 compute)."""
+    def quantized(self, params, batch_hint: int = None):
+        """int8-weight GPT serving tree (kept bf16 compute; ~neutral
+        speed — the sequential decode is op-latency bound — but halves
+        the weight footprint, so no batch_hint crossover here)."""
         from bevgen_tpu.ops.quant import quantize_gpt_tree
         qparams = dict(params)
         qparams["gpt"] = jax.tree_util.tree_map(

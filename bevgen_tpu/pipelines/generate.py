@@ -107,12 +107,31 @@ class BEVGenPipeline(NamedTuple):
         images = self.decode_tokens(params, ids)
         return images, ids
 
-    def quantized(self, params):
+    # int8 wins below this batch, bf16 at or above it (TPU-measured,
+    # docs/PERF_NOTES.md: b2 int8 18.7 vs bf16 17.7 img/s; b16 int8
+    # 15.3 vs 17.4 — at large batch the dense matmuls no longer bound
+    # the pipeline and the quant/requant elementwise overhead rides the
+    # already-saturated VPU/HBM)
+    INT8_CROSSOVER_BATCH = 4
+
+    def quantized(self, params, batch_hint: Optional[int] = None):
         """int8 W8A8 serving variant: returns (pipeline, params) with the
         decode transformer's hot dense layers quantized (ops/quant.py).
-        Stage-1 convs stay bf16 (they are ~2% of the budget)."""
+        Stage-1 convs stay bf16 (they are ~2% of the budget).
+
+        batch_hint: intended serving batch — at or above
+        INT8_CROSSOVER_BATCH the bf16 pipeline is FASTER, so the call
+        auto-selects bf16 (returns self unchanged, with a notice)
+        instead of handing the user a slower "optimized" pipeline.
+        Pass batch_hint=None to force quantization regardless (the
+        bench does, to publish the honest int8-at-b16 row)."""
         import dataclasses
         from bevgen_tpu.ops.quant import quantize_dense_tree
+        if batch_hint is not None and batch_hint >= self.INT8_CROSSOVER_BATCH:
+            print(f"[quantized] batch {batch_hint} >= crossover "
+                  f"{self.INT8_CROSSOVER_BATCH}: bf16 is faster than int8 "
+                  "at this batch (docs/PERF_NOTES.md) — keeping bf16")
+            return self, params
         cfg = dataclasses.replace(
             self.config, transformer=self.config.transformer.replace(
                 quant="int8"))

@@ -78,8 +78,9 @@ def main(argv=None):
         params = load_weights(ckpt_path, params)
         print(f"loaded weights from {ckpt_path}")
     if quant == "int8":
-        # quantize AFTER loading weights (host-side tree conversion)
-        pipe, params = pipe.quantized(params)
+        # quantize AFTER loading weights (host-side tree conversion);
+        # auto-reverts to bf16 at large batch where int8 measured slower
+        pipe, params = pipe.quantized(params, batch_hint=batch_size)
 
     if fake:
         batches = [fake_batch(cfg, batch_size, seed=seed + i)

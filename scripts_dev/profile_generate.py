@@ -15,6 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from bevgen_tpu.core.config import argoverse_muse_7cam_config
 from bevgen_tpu.data.fake import fake_batch
 from bevgen_tpu.pipelines.generate import BEVGenPipeline

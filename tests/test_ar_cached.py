@@ -53,6 +53,7 @@ def test_teacher_forced_logits_match_full_forward(camera_bias):
                                err_msg="cached logits diverge from full fwd")
 
 
+@pytest.mark.slow
 def test_cached_sampling_matches_full_sampler_greedy():
     cfg = gpt_cfg()
     model = SparseGPT(cfg, use_pallas=False)

@@ -295,6 +295,7 @@ def test_edit_scene_cli(tmp_path):
     assert len(jpgs) == 3  # tiny_test has 3 cameras
 
 
+@pytest.mark.slow
 def test_edit_server_end_to_end():
     """Interactive editing web UI (stdlib HTTP replacement for the
     reference gradio demo, interactive_editing.py:297): serve, fetch the

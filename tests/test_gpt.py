@@ -119,6 +119,7 @@ def test_ar_sample_and_partial(gpt_and_params):
         np.asarray(out3).reshape(ids.shape)[:, 0], np.asarray(ids[:, 0]))
 
 
+@pytest.mark.slow
 def test_ar_loss_and_grads(gpt_and_params):
     cfg, model, params, (ids, cond, ii, ei) = gpt_and_params
 

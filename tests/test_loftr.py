@@ -61,6 +61,7 @@ def test_mutual_nearest_matches_exact():
     assert np.asarray(mconf)[inside] == pytest.approx(0.9)
 
 
+@pytest.mark.slow
 def test_matcher_end_to_end_random_weights(rand_params):
     """Full pipeline on a 50-px strip pair (the metric's real shapes —
     non-multiple-of-8 width exercises the padding path)."""

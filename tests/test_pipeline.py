@@ -7,6 +7,7 @@ import numpy as np
 from bevgen_tpu.data.fake import fake_batch
 
 
+@pytest.mark.slow
 def test_full_generate_pipeline(tiny_pipe):
     pipe, params = tiny_pipe
     cfg = pipe.config.transformer
@@ -37,6 +38,7 @@ def test_encode_decode_tokens_roundtrip(tiny_pipe):
     assert dec.shape[:2] == (1, cfg.num_cams)
 
 
+@pytest.mark.slow
 def test_encode_bev_token_range(tiny_pipe):
     pipe, params = tiny_pipe
     batch = fake_batch(pipe.config, batch_size=2)
@@ -247,6 +249,7 @@ def test_ar_pipeline_end_to_end():
     assert (arr_q >= 0).all() and (arr_q < tf.vocab_size).all()
 
 
+@pytest.mark.slow
 def test_sharded_ar_generation_multichip():
     """AR serving SPMD over dp x tp: GPT qkv/mlp kernels follow the TP
     rules and the cached decode runs under GSPMD."""
@@ -282,6 +285,7 @@ def test_sharded_ar_generation_multichip():
     assert (arr >= 0).all() and (arr < tf.vocab_size).all()
 
 
+@pytest.mark.slow
 def test_tp_forward_logits_match_single_device(tiny_pipe):
     """A single fp32 MaskGit forward under tensor parallelism (tp=2,
     sharded dense kernels + shard_map attention) must match the

@@ -80,6 +80,7 @@ def maskgit_inputs():
     return pipe, (ids, cond, ii, ei)
 
 
+@pytest.mark.slow
 def test_quantized_transformer_tracks_fp32(maskgit_inputs):
     pipe, (ids, cond, ii, ei) = maskgit_inputs
     cfg = pipe.transformer

@@ -59,6 +59,7 @@ def test_self_cond_loss_and_generate():
     assert not np.allclose(np.asarray(l0), np.asarray(l1))
 
 
+@pytest.mark.slow
 def test_token_critic_loss_and_generate():
     cfg = cfg_small()
     muse = MuseConfig(self_token_critic=False, token_critic=True,

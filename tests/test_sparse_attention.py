@@ -103,6 +103,7 @@ def test_gradients_flow_through_custom_vjp():
         assert np.abs(np.asarray(g)).max() > 0
 
 
+@pytest.mark.slow
 def test_block_sparse_backward_matches_dense_grads():
     """Pallas sparse backward (dq + transposed-plan dkv + dbias) vs
     jax.grad of the dense masked reference, interpret mode."""

@@ -180,6 +180,7 @@ def test_codebook_stats():
     assert 1.0 < float(stats["codebook_perplexity"]) <= 4.0
 
 
+@pytest.mark.slow
 def test_remat_flag_preserves_outputs():
     from bevgen_tpu.core.config import MultiViewConfig
     from bevgen_tpu.models.stage2.transformer import MultiViewTransformer

@@ -246,7 +246,10 @@ def test_cross_attention_uses_img_cond_bias_slice(model_and_params):
 
 @pytest.mark.parametrize("cam_names,num_cams", [
     ("NUSCENES_FRONT", 1),            # BASELINE config 3: single camera
-    ("ARGOVERSE_RING_CAMERAS", 7),    # BASELINE config 4: full 7-cam ring
+    # BASELINE config 4 (full 7-cam ring): ~29 s of pure jit compile on
+    # this host -> slow lane; the 1-cam variant keeps the geometry
+    # branch coverage fast
+    pytest.param("ARGOVERSE_RING_CAMERAS", 7, marks=pytest.mark.slow),
 ])
 def test_camera_count_variants(cam_names, num_cams):
     dataset = "nuscenes" if cam_names.startswith("NUSCENES") else "argoverse"
@@ -310,6 +313,7 @@ def test_no_mask_token_prob_keeps_subset(tiny_pipe):
     assert np.isfinite(float(out0.loss))
 
 
+@pytest.mark.slow
 def test_generate_force_not_use_token_critic(tiny_pipe):
     """Serving a critic-trained model without the critic pass
     (muse_maskgit_pytorch.py:521 force_not_use_token_critic):
