@@ -177,10 +177,10 @@ class MultiViewConfig:
     # GSPMD program (models/stage2/transformer.py CosineAttention.mesh).
     use_fused_attention: Optional[bool] = None
     # fused residual+LayerNorm and GEGLU+LayerNorm Pallas passes
-    # (ops/pallas/fused_glue.py) — the round-4 elementwise-bucket cut.
-    # None = auto: on for single-device TPU inference at quant="none";
-    # off under a multi-device mesh (no GSPMD rule for pallas_call) and
-    # off-TPU. Checkpoint layout is identical either way.
+    # (ops/pallas/fused_glue.py). None = OFF: the kernels hit ~96% HBM
+    # bandwidth but still measured SLOWER e2e than XLA's own fusions of
+    # the same chains, which materialize fewer bytes (PERF_NOTES r4).
+    # Opt-in for experiments; checkpoint layout identical either way.
     use_fused_glue: Optional[bool] = None
 
     def __post_init__(self):

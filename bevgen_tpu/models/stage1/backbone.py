@@ -55,6 +55,35 @@ def conv1x1(features: int, name: str, dtype: Dtype, use_bias: bool = True):
                    dtype=dtype, param_dtype=jnp.float32, name=name)
 
 
+class PaddedOutConv(nn.Module):
+    """3x3 output conv whose few (3/7) output channels are padded to a
+    lane-friendly width at the WEIGHT level (zeros, sliced off after).
+
+    A 3-channel conv output forces XLA into a 3/128-lane MXU program
+    with a degenerate output layout — the final RGB conv alone measured
+    171 ms per b16 generate (scripts_dev/trace_tools.py budget). The
+    zero-padded channels change no output value; param names/shapes are
+    identical to nn.Conv ('kernel' HWIO + 'bias'), so checkpoints are
+    unaffected. The weight pad is parameter-only — XLA hoists it."""
+    features: int
+    pad_to: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        pad = self.pad_to - self.features
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        bp = jnp.pad(b, (0, pad))
+        y = jax.lax.conv_general_dilated(
+            x, kp.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return (y + bp.astype(self.dtype))[..., :self.features]
+
+
 class ResnetBlock(nn.Module):
     """GN -> swish -> conv -> GN -> swish -> dropout -> conv, + shortcut
     (model.py:78-137)."""
@@ -189,4 +218,8 @@ class Decoder(nn.Module):
                 curr_res *= 2
         h = GroupNorm32(dtype=self.dtype, name="norm_out")(h)
         h = swish(h)
+        if cfg.out_ch < 16:
+            # 3/7-channel RGB/BEV outputs: lane-pad the weights
+            return PaddedOutConv(cfg.out_ch, dtype=self.dtype,
+                                 name="conv_out")(h)
         return conv3x3(cfg.out_ch, "conv_out", self.dtype)(h)

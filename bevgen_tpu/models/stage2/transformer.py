@@ -380,8 +380,9 @@ class GEGLUFeedForward(nn.Module):
 
     use_glue: fuse [residual+norm_in] and [gate*gelu+norm_mid] into
     single Pallas passes (ops/pallas/fused_glue.py) with the padded
-    projection layout; None = auto (TPU and quant=='none'). Params are
-    checkpoint-identical across all paths."""
+    projection layout. None = OFF (measured slower e2e than XLA's own
+    fusion of the same chain — see MultiViewTransformer; opt-in for
+    experiments). Params are checkpoint-identical across all paths."""
     dim: int
     mult: int = 4
     dtype: Dtype = jnp.float32
@@ -392,9 +393,7 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x, residual_delta=None, return_residual: bool = False):
         inner = int(self.dim * self.mult * 2 / 3)
         dense = _make_dense(self.quant, self.dtype)
-        use_glue = (self.use_glue if self.use_glue is not None
-                    else (jax.default_backend() == "tpu"
-                          and self.quant == "none"))
+        use_glue = (self.use_glue if self.use_glue is not None else False)
         if residual_delta is not None:
             x_new, h = LayerNormG(self.dtype, name="norm_in")(
                 x, residual=residual_delta)
@@ -571,14 +570,16 @@ class MultiViewTransformer(nn.Module):
               else GEGLUFeedForward)
         # fused residual+LN glue (ops/pallas/fused_glue.py): every op
         # takes (stream, previous delta) and folds the residual add
-        # into its LayerNorm — one Pallas pass instead of XLA's
-        # residual fusion + a separate LN-stats pass. Off under a
-        # multi-device mesh (pallas_call has no GSPMD rule) and for the
-        # int8 path (QuantDense's static scales read the XLA LN).
+        # into its LayerNorm in one Pallas pass. MEASURED OFF by
+        # default: the kernels run at ~96% HBM bandwidth yet the b16
+        # flagship e2e REGRESSED 17.48 -> 17.15 img/s — XLA's fusions
+        # already fold the residual into the LN-stats pass and the
+        # norm-apply into the matmul prologues, so they move FEWER
+        # total HBM bytes than any standalone-kernel decomposition of
+        # the same chain (docs/PERF_NOTES.md round-4). Kept as an
+        # opt-in (cfg.use_fused_glue=True), fully tested.
         use_glue = (cfg.use_fused_glue if cfg.use_fused_glue is not None
-                    else (jax.default_backend() == "tpu"
-                          and cfg.quant == "none"
-                          and (self.mesh is None or self.mesh.size == 1)))
+                    else False)
         mk_attn = lambda name: Attn(dim, cfg.dim_head, cfg.num_heads,
                                     dtype=self.dtype, quant=cfg.quant,
                                     use_fused=cfg.use_fused_attention,
