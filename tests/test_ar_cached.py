@@ -68,6 +68,7 @@ def test_cached_sampling_matches_full_sampler_greedy():
                                   np.asarray(out_cached))
 
 
+@pytest.mark.slow
 def test_cached_partial_decode():
     cfg = gpt_cfg()
     model = SparseGPT(cfg, use_pallas=False)

@@ -78,11 +78,11 @@ def _tree_allclose(a, b, atol=1e-6):
 
 
 @pytest.fixture(scope="module")
-def pipe_params():
-    cfg = tiny_test_config()
-    pipe = BEVGenPipeline.create(cfg)
-    params = pipe.init_params(jax.random.PRNGKey(7))
-    return pipe, params
+def pipe_params(tiny_pipe):
+    # reuse the session-scoped tiny pipeline (conftest): its init is the
+    # single biggest fixture cost in the fast lane (~24 s on this host)
+    # and the converter tests only need SOME consistent param values
+    return tiny_pipe
 
 
 def test_stage1_converter_roundtrip(pipe_params):

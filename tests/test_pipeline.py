@@ -25,6 +25,7 @@ def test_full_generate_pipeline(tiny_pipe):
     assert np.isfinite(np.asarray(images)).all()
 
 
+@pytest.mark.slow
 def test_encode_decode_tokens_roundtrip(tiny_pipe):
     pipe, params = tiny_pipe
     cfg = pipe.config.transformer

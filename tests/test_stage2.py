@@ -335,3 +335,40 @@ def test_generate_force_not_use_token_critic(tiny_pipe):
     arr = np.asarray(ids)
     assert arr.shape == (1, cfg.num_cams, *cfg.cam_latent_res)
     assert (arr >= 0).all() and (arr < cfg.vocab_size).all()
+
+
+def test_generate_builds_decode_cache_once(monkeypatch):
+    """The decode loop must hoist its step-invariant work through
+    MaskGit.build_cache exactly once per generate (the cross-attention
+    K/V cache etc — maskgit.generate). Regression guard for the
+    round-4 restructure: if someone reverts the cache plumbing, the
+    outputs stay right but 35 forwards recompute it all."""
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.models import geometry
+    from bevgen_tpu.models.stage2 import maskgit as mg
+
+    pipe_cfg = tiny_test_config()
+    cfg = pipe_cfg.transformer
+    model = mg.MaskGit(cfg, pipe_cfg.muse)
+    rng = np.random.default_rng(0)
+    b = 1
+    cond = jnp.asarray(rng.integers(0, cfg.cond_vocab_size,
+                                    (b, cfg.num_cond_tokens)), jnp.int32)
+    ii, ei = map(jnp.asarray, geometry.canonical_rig_inverses(cfg, b))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, cfg.num_cams, cfg.num_cam_tokens), jnp.int32),
+        cond, ii, ei, method=mg.MaskGit.init_all)
+
+    calls = []
+    orig = mg.MaskGit.build_cache
+
+    def counting(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(mg.MaskGit, "build_cache", counting)
+    ids = mg.generate(model, params, cond, ii, ei, jax.random.PRNGKey(1),
+                      timesteps=3)
+    assert ids.shape == (b, cfg.num_cams, *cfg.cam_latent_res)
+    assert len(calls) == 1  # traced exactly once, outside the scan
