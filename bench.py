@@ -237,9 +237,10 @@ def main():
         pass
 
     # headline = the BASELINE.md-named workload (batch 16). The measured
-    # serving optimum is batch 2 (docs/PERF_NOTES.md batch sweep: img/s
-    # peaks small and falls monotonically to batch 16) — reported
-    # alongside so neither number hides the other.
+    # serving optimum is batch 2-4 (docs/PERF_NOTES.md round-4 sweep:
+    # 16.3 / 19.4 / 19.5 / 18.8 / 17.5 img/s at b1/2/4/8/16 — a hump
+    # peaking at b4) — reported alongside so neither number hides the
+    # other.
     headline_batch = int(os.environ.get("BENCH_BATCH", "16"))
     serving_batch = int(os.environ.get("BENCH_SERVING_BATCH", "2"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
