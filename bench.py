@@ -271,11 +271,21 @@ def main():
         extra["critic_free_vs_baseline"] = round(
             cf / BASELINE_IMAGES_PER_SEC, 3)
         if not quant and os.environ.get("BENCH_SKIP_INT8", "0") != "1":
-            # int8 W8A8 row at the headline batch (recompiles everything)
+            # int8 W8A8 rows (recompiles everything): the honest
+            # headline-batch number AND the int8 serving optimum —
+            # batch 3, where the double-rate MXU pays before the
+            # quant/requant elementwise saturates (round-4 sweep:
+            # 22.0/22.3/21.3/18.4/16.1 at b2/3/4/8/16). The b3 row runs
+            # the SAME 18-step self-critic decode structure as the
+            # headline — int8-quantized numerics are the only delta.
             qpipe, qparams = pipe.quantized(params)
             q8, _ = measure(qpipe, qparams, cfg, headline_batch, reps,
                             False)
             extra["int8"] = round(q8, 3)
+            q8s, _ = measure(qpipe, qparams, cfg, 3, reps, False)
+            extra["int8_serving_b3"] = round(q8s, 3)
+            extra["int8_serving_vs_baseline"] = round(
+                q8s / BASELINE_IMAGES_PER_SEC, 3)
 
     if os.environ.get("BENCH_SKIP_AR", "0") != "1" and not quant \
             and not no_critic:

@@ -107,12 +107,13 @@ class BEVGenPipeline(NamedTuple):
         images = self.decode_tokens(params, ids)
         return images, ids
 
-    # int8 wins below this batch, bf16 at or above it (TPU-measured,
-    # docs/PERF_NOTES.md: b2 int8 18.7 vs bf16 17.7 img/s; b16 int8
-    # 15.3 vs 17.4 — at large batch the dense matmuls no longer bound
-    # the pipeline and the quant/requant elementwise overhead rides the
-    # already-saturated VPU/HBM)
-    INT8_CROSSOVER_BATCH = 4
+    # int8 wins below this batch, bf16 at or above it (round-4
+    # TPU-measured sweep, docs/PERF_NOTES.md: int8 22.0/21.3/18.4/16.1
+    # vs bf16 19.4/19.5/18.8/17.5 img/s at b2/4/8/16 — at large batch
+    # the quant/requant elementwise overhead rides the already-
+    # saturated VPU/HBM while small batches are matmul-bound where the
+    # double-rate int8 MXU pays)
+    INT8_CROSSOVER_BATCH = 8
 
     def quantized(self, params, batch_hint: Optional[int] = None):
         """int8 W8A8 serving variant: returns (pipeline, params) with the
