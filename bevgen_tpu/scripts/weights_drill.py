@@ -47,7 +47,6 @@ def drill_lpips(tmp: Path) -> None:
     import torch
     from bevgen_tpu.models.lpips import (LPIPS, convert_lpips_weights,
                                          load_lpips_params)
-    import jax
 
     rng = np.random.default_rng(0)
     vgg_sd, cin = {}, 3
@@ -175,7 +174,7 @@ def drill_loftr(tmp: Path) -> None:
 
 
 def drill_clip_vocab(tmp: Path) -> None:
-    from bevgen_tpu.utils.tokenizer import SimpleTokenizer, bytes_to_unicode
+    from bevgen_tpu.utils.tokenizer import SimpleTokenizer
 
     # a miniature merges file in the real gz format: header line + one
     # merge pair per line

@@ -178,3 +178,19 @@ def test_static_scales_fold_nontrivial_gammas(maskgit_inputs):
     a, b_ = out.ravel(), out_q.ravel()
     cos = (a @ b_) / (np.linalg.norm(a) * np.linalg.norm(b_))
     assert cos > 0.99, cos
+
+
+def test_quantized_batch_hint_crossover(tiny_pipe, capsys):
+    """quantized(batch_hint=) auto-selects: below the measured crossover
+    it quantizes; at/above it keeps bf16 unchanged and says why
+    (round-4 sweep: int8 wins b2-b4, bf16 wins b8-b16)."""
+    pipe, params = tiny_pipe
+    qpipe, qparams = pipe.quantized(params, batch_hint=2)
+    assert qpipe.config.transformer.quant == "int8"
+    keep_pipe, keep_params = pipe.quantized(params,
+                                            batch_hint=pipe.INT8_CROSSOVER_BATCH)
+    assert keep_pipe is pipe and keep_params is params
+    assert "keeping bf16" in capsys.readouterr().out
+    # explicit None forces quantization regardless (the bench's path)
+    forced, _ = pipe.quantized(params, batch_hint=None)
+    assert forced.config.transformer.quant == "int8"
