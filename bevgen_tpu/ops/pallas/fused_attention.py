@@ -713,10 +713,16 @@ def fused_cosine_attention_fwd_fb2c(q, k, v, null_kv, q_scale, k_scale,
 
 
 def _auto_head_group_fb2(H: int, tile_q: int, Mp: int, D: int,
-                         requested: int, budget_bytes: int = 15 << 20) -> int:
+                         requested: int,
+                         budget_bytes: Optional[int] = None) -> int:
     """VMEM-budgeted head group for fb2: score strip fp32 + bf16 copy
     for the AV dot, double-buffered K and raw V, plus the in-kernel
-    [V|1] concat transient."""
+    [V|1] concat transient. Budget tracks the device-derived scoped
+    VMEM limit (44% of it, same calibration as fb2c) — at the 100MB
+    scope of v4+ chips the decode shapes run hg=8 (half the grid rows
+    and bias re-fetches of the 16MB-default hg=4)."""
+    if budget_bytes is None:
+        budget_bytes = int(_vmem_scope_bytes() * 0.44)
     per_head = (tile_q * Mp * (4 + 2)        # e fp32 + bf16 cast
                 + 2 * Mp * D * 2             # K, double-buffered
                 + 2 * Mp * D * 2             # V raw, double-buffered
@@ -742,7 +748,15 @@ def fused_cosine_attention_fwd_fb2(q, k, v, null_kv, q_scale, k_scale,
     Np = math.ceil(N / tile_q) * tile_q
     Mp = math.ceil(M / tile) * tile
     nq = Np // tile_q
-    hg = _auto_head_group_fb2(H, tile_q, Mp, D, head_group)
+    # batch-aware head-group budget (all four points TPU-measured,
+    # flagship e2e): at b16 the 100MB-scope budget runs self-attn at
+    # hg=8 — half the grid rows and bias re-fetches — for +3.9%
+    # (17.48 -> 18.16 img/s); at b2/b4 the short B*G grid loses more
+    # pipeline fill than the traffic saves (-4.2% / -2.4%; b8 neutral),
+    # so small batches keep the legacy 16MB-class budget (self hg=4,
+    # cross-attn hg=8 — the previously-measured optimum).
+    budget = None if B >= 12 else (15 << 20)
+    hg = _auto_head_group_fb2(H, tile_q, Mp, D, head_group, budget)
     G = H // hg
 
     def regroup(x, L_, W):
@@ -800,6 +814,11 @@ def fused_cosine_attention_fwd_fb2(q, k, v, null_kv, q_scale, k_scale,
         partial(_qknorm_kernel_fb2, d_model=D, groups_per_batch=G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * G, hg, Np, D), q.dtype),
+        # raise the scoped VMEM to the device-derived limit so the hg=8
+        # head group from _auto_head_group_fb2 actually compiles (the
+        # 16MB compiler default only fits hg=4 at decode shapes)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_scope_bytes()),
         interpret=interpret,
     )(keep_arr, qp, kp, vp, nkv, scales, biasfb, rbp)
     return out.reshape(B, H, Np, D)[:, :, :N]
