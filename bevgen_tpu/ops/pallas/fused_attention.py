@@ -814,11 +814,14 @@ def fused_cosine_attention_fwd_fb2(q, k, v, null_kv, q_scale, k_scale,
         partial(_qknorm_kernel_fb2, d_model=D, groups_per_batch=G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * G, hg, Np, D), q.dtype),
-        # raise the scoped VMEM to the device-derived limit so the hg=8
-        # head group from _auto_head_group_fb2 actually compiles (the
-        # 16MB compiler default only fits hg=4 at decode shapes)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_scope_bytes()),
+        # raise the scoped VMEM to the device-derived limit ONLY on the
+        # big-batch hg=8 path (it cannot compile under the 16MB
+        # default); raising it unconditionally regressed the b2/b3
+        # serving rows ~5% even at hg=4 — the compiler appears to trade
+        # pipelining decisions against the larger scope
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_scope_bytes())
+            if budget is None else pltpu.CompilerParams()),
         interpret=interpret,
     )(keep_arr, qp, kp, vp, nkv, scales, biasfb, rbp)
     return out.reshape(B, H, Np, D)[:, :, :N]
