@@ -2,10 +2,15 @@
 generation (BEV raster -> 18-step MaskGit decode w/ self-critic ->
 VQ-GAN pixel decode), flagship Argoverse 7-cam config, bf16.
 
-Prints ONE JSON line:
+Prints the headline JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
-The headline value is the BASELINE-named workload (batch 16); the
-measured serving optimum (batch 2) rides along as "serving_batch2".
+IMMEDIATELY after the headline measurement (flushed), then runs the
+extra rows (int8 serving, serving batch, critic-free, AR path) in
+priority order under a wall-clock budget (BENCH_BUDGET_S, default 900 s)
+and re-prints the final enriched line. The LAST JSON line on stdout is
+the complete result; the early line is insurance against an external
+timeout killing the extras (round-4 lesson: one terminal print lost
+everything to a timeout, BENCH_r04.json rc=124).
 
 Decode semantics: bit-equal to the reference's eval-mode generate. The
 reference spends 4 sequential forwards/step, but its inference-time
@@ -48,6 +53,23 @@ import sys
 import time
 
 BASELINE_IMAGES_PER_SEC = 4.4  # reference A5000 estimate (see docstring)
+
+_T0 = time.perf_counter()
+
+
+def _remaining(budget):
+    return budget - (time.perf_counter() - _T0)
+
+
+def emit(result):
+    """Print the result line, flushed, so an external timeout that kills
+    the process later still leaves the most recent line in the tail."""
+    print(json.dumps(result), flush=True)
+
+
+def note(msg):
+    print(f"[bench {time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def measure(pipe, params, cfg, batch_size, reps, no_critic):
@@ -100,7 +122,7 @@ AR_BASELINE_IMG_PER_S = 0.0639
 # sequential scan being device-op-LATENCY bound (see PERF_NOTES).
 
 
-def measure_ar(reps):
+def measure_ar(reps, budget):
     """AR-path rows (VERDICT r2 item 4 + r3 item 6): the full AR
     pipeline on chip (BEV encode -> KV-cached sparse decode -> VQ pixel
     decode) at the TPU-native 128-block preset — batch sweep b2/b8 and
@@ -158,6 +180,10 @@ def measure_ar(reps):
     sweep = [int(x) for x in os.environ.get(
         "BENCH_AR_BATCHES", "2,8").split(",") if x]
     for b in sweep:
+        if b != sweep[0] and _remaining(budget) < 120:
+            note(f"AR b{b} skipped (budget)")
+            out.setdefault("skipped", []).append(f"ar_b{b}")
+            continue
         batch = fake_batch(cfg, batch_size=b)
         seg = jnp.asarray(batch["segmentation"])
         ii = jnp.asarray(batch["intrinsics_inv"])
@@ -172,6 +198,11 @@ def measure_ar(reps):
         out[key] = round(ips, 3)
         if b == sweep[0]:
             out["ar_vs_reference"] = round(ips / AR_BASELINE_IMG_PER_S, 1)
+
+    if _remaining(budget) < 90:
+        note("AR train/attribution rows skipped (budget)")
+        out.setdefault("skipped", []).append("ar_train_attr")
+        return out
 
     # --- train step (fwd+bwd) with the kernel active ------------------
     rng = np.random.default_rng(0)
@@ -236,6 +267,13 @@ def main():
     except Exception:
         pass
 
+    # wall-clock budget for the run: the headline ALWAYS prints (first,
+    # flushed); each extra row only starts if enough budget remains for
+    # its (warm-cache) estimated cost. Skipped rows are listed in the
+    # final line's "skipped" field so a truncated run is visible, not
+    # silent.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
     # headline = the BASELINE.md-named workload (batch 16). The measured
     # serving optimum is batch 2-4 (docs/PERF_NOTES.md round-4 sweep:
     # 16.3 / 19.4 / 19.5 / 18.8 / 17.5 img/s at b1/2/4/8/16 — a hump
@@ -251,58 +289,91 @@ def main():
     quant = os.environ.get("BENCH_QUANT", "0") == "1"
     if quant:
         # int8 W8A8 decode transformer (ops/quant.py) — serving option
-        pipe, params = pipe.quantized(params)
+        pipe, params = pipe.quantized(params, batch_hint=None)
     # serve without the critic pass (reference force_not_use_token_critic,
     # muse_maskgit_pytorch.py:521) — 1 transformer forward/step instead of 2
     no_critic = os.environ.get("BENCH_NO_CRITIC", "0") == "1"
 
+    note(f"headline b{headline_batch} starting (budget {budget:.0f}s)")
     ips, ips_min = measure(pipe, params, cfg, headline_batch, reps,
                            no_critic)
-    extra = {"value_from_min": round(ips_min, 3), "reps": reps}
-    if serving_batch and serving_batch != headline_batch:
-        sb, _ = measure(pipe, params, cfg, serving_batch, reps, no_critic)
-        extra["serving_batch%d" % serving_batch] = round(sb, 3)
-    if not no_critic and os.environ.get("BENCH_SKIP_EXTRAS", "0") != "1":
-        # the reference's own critic-free serving mode
-        # (force_not_use_token_critic, muse_maskgit_pytorch.py:521,556)
-        # — one forward/step instead of two
-        cf, _ = measure(pipe, params, cfg, headline_batch, reps, True)
-        extra["critic_free"] = round(cf, 3)
-        extra["critic_free_vs_baseline"] = round(
-            cf / BASELINE_IMAGES_PER_SEC, 3)
-        if not quant and os.environ.get("BENCH_SKIP_INT8", "0") != "1":
-            # int8 W8A8 rows (recompiles everything): the honest
-            # headline-batch number AND the int8 serving optimum —
-            # batch 3, where the double-rate MXU pays before the
-            # quant/requant elementwise saturates (round-4 sweep:
-            # 22.0/22.3/21.3/18.4/16.1 at b2/3/4/8/16). The b3 row runs
-            # the SAME 18-step self-critic decode structure as the
-            # headline — int8-quantized numerics are the only delta.
-            qpipe, qparams = pipe.quantized(params)
-            q8, _ = measure(qpipe, qparams, cfg, headline_batch, reps,
-                            False)
-            extra["int8"] = round(q8, 3)
-            q8s, _ = measure(qpipe, qparams, cfg, 3, reps, False)
-            extra["int8_serving_b3"] = round(q8s, 3)
-            extra["int8_serving_vs_baseline"] = round(
-                q8s / BASELINE_IMAGES_PER_SEC, 3)
-
-    if os.environ.get("BENCH_SKIP_AR", "0") != "1" and not quant \
-            and not no_critic:
-        # AR-path rows (block-sparse kernel engaged) — see measure_ar
-        extra.update(measure_ar(reps))
-
     mode = ("confidence re-mask" if no_critic else "self-critic")
     dtype_s = "int8" if quant else "bf16"
-    print(json.dumps({
+    result = {
         "metric": "multi-cam images/sec/chip (7-camera 256px scene "
                   f"generation, batch {headline_batch}, 18-step MaskGit + "
                   f"{mode} + VQ decode, {dtype_s}, median of {reps})",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
-        **extra,
-    }))
+        "value_from_min": round(ips_min, 3),
+        "reps": reps,
+    }
+    emit(result)  # the insurance line — the headline survives any
+    #               external timeout that kills the extras below
+    skipped = []
+
+    def want(name, est_cost_s):
+        if _remaining(budget) >= est_cost_s:
+            note(f"{name} starting ({_remaining(budget):.0f}s left)")
+            return True
+        note(f"{name} skipped (budget: {_remaining(budget):.0f}s left, "
+             f"needs ~{est_cost_s:.0f}s)")
+        skipped.append(name)
+        return False
+
+    extras_on = os.environ.get("BENCH_SKIP_EXTRAS", "0") != "1"
+
+    # Priority 1: the int8 serving row — the >=5x evidence (round-4
+    # sweep: b3 is the int8 optimum; same 18-step self-critic decode
+    # structure as the headline, int8 numerics the only delta; fidelity
+    # dossier: docs/FIDELITY.md / tests/test_int8_fidelity.py).
+    if (extras_on and not quant and not no_critic
+            and os.environ.get("BENCH_SKIP_INT8", "0") != "1"
+            and want("int8_serving_b3", 150)):
+        qpipe, qparams = pipe.quantized(params, batch_hint=None)
+        q8s, _ = measure(qpipe, qparams, cfg, 3, reps, False)
+        result["int8_serving_b3"] = round(q8s, 3)
+        result["int8_serving_vs_baseline"] = round(
+            q8s / BASELINE_IMAGES_PER_SEC, 3)
+        emit(result)
+    else:
+        qpipe = qparams = None
+
+    # Priority 2: bf16 serving-optimum batch.
+    if serving_batch and serving_batch != headline_batch \
+            and want(f"serving_batch{serving_batch}", 90):
+        sb, _ = measure(pipe, params, cfg, serving_batch, reps, no_critic)
+        result["serving_batch%d" % serving_batch] = round(sb, 3)
+        emit(result)
+
+    if extras_on and not no_critic:
+        # Priority 3: the reference's own critic-free serving mode
+        # (force_not_use_token_critic, muse_maskgit_pytorch.py:521,556)
+        # — one forward/step instead of two
+        if want("critic_free", 120):
+            cf, _ = measure(pipe, params, cfg, headline_batch, reps, True)
+            result["critic_free"] = round(cf, 3)
+            result["critic_free_vs_baseline"] = round(
+                cf / BASELINE_IMAGES_PER_SEC, 3)
+            emit(result)
+        # Priority 4: int8 at the headline batch (honest row — int8 is
+        # SLOWER than bf16 at b16; the crossover guard exists for this)
+        if qpipe is not None and want("int8_b16", 150):
+            q8, _ = measure(qpipe, qparams, cfg, headline_batch, reps,
+                            False)
+            result["int8"] = round(q8, 3)
+            emit(result)
+
+    if os.environ.get("BENCH_SKIP_AR", "0") != "1" and not quant \
+            and not no_critic and want("ar_rows", 240):
+        # AR-path rows (block-sparse kernel engaged) — see measure_ar
+        result.update(measure_ar(reps, budget))
+
+    if skipped:
+        result["skipped"] = skipped + result.pop("skipped", [])
+    note("done")
+    emit(result)
 
 
 if __name__ == "__main__":

@@ -229,7 +229,8 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
              rng, init_ids: Optional[jnp.ndarray] = None,
              timesteps: Optional[int] = None,
              force_not_use_token_critic: bool = False,
-             can_remask_prev_masked: bool = False):
+             can_remask_prev_masked: bool = False,
+             return_trajectory: bool = False):
     """Iteratively decode image tokens for every camera.
 
     Args:
@@ -246,7 +247,12 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
         instead of pinning them to -1e5
         (muse_maskgit_pytorch.py:613-617) — only meaningful for
         checkpoints trained with no_mask_token_prob > 0.
-    Returns: (b, cam, h, w) int32 codebook indices.
+      return_trajectory: additionally return the (T, b, cam, hw) int32
+        post-commit ids after EVERY decode step (the fidelity dossier
+        compares bf16-vs-int8 decode trajectories step by step —
+        docs/FIDELITY.md).
+    Returns: (b, cam, h, w) int32 codebook indices, or
+      (ids, trajectory) when return_trajectory.
     """
     cfg, muse = model.cfg, model.muse
     use_critic = ((muse.self_token_critic or muse.token_critic)
@@ -321,7 +327,7 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
             # NEXT step's re-masking) — skip the dead critic forward.
             # Output-identical to the reference, which uniformly runs it
             # (muse_maskgit_pytorch.py:601-611) and discards the result.
-            return (ids, scores, sc), None
+            return (ids, scores, sc), (ids if return_trajectory else None)
         if use_critic:
             scores = cfg_critic(model, params, ids, cond_ids, intrinsics_inv,
                                 extrinsics_inv, muse.cond_scale,
@@ -334,15 +340,18 @@ def generate(model: MaskGit, params, cond_ids, intrinsics_inv, extrinsics_inv,
             scores = 1.0 - chosen
             if not can_remask_prev_masked:
                 scores = jnp.where(is_mask, scores, -1e5)
-        return (ids, scores, sc), None
+        return (ids, scores, sc), (ids if return_trajectory else None)
 
     # scan the first T-1 steps; peel the last (no score computation)
     head = jax.tree_util.tree_map(lambda x: x[:-1], xs)
     tail = jax.tree_util.tree_map(lambda x: x[-1], xs)
-    carry, _ = jax.lax.scan(body, (ids, scores, sc_embed), head)
-    (ids, _, _), _ = body(carry, tail, last=True)
+    carry, traj = jax.lax.scan(body, (ids, scores, sc_embed), head)
+    (ids, _, _), last_ids = body(carry, tail, last=True)
     h, w = cfg.cam_latent_res
-    return ids.reshape(b, cam, h, w)
+    out = ids.reshape(b, cam, h, w)
+    if return_trajectory:
+        return out, jnp.concatenate([traj, last_ids[None]], axis=0)
+    return out
 
 
 # ---------------------------------------------------------------------------

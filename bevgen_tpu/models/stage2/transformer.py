@@ -588,17 +588,36 @@ class MultiViewTransformer(nn.Module):
                                 quant=cfg.quant, use_glue=use_glue,
                                 name=name)
         if use_glue:
+            # The glue convention passes Python bools (return_residual=
+            # True, precompute_kv=False) through the module call. Under
+            # nn.remat those must be STATIC or jax.checkpoint traces
+            # them and `if return_residual:` raises
+            # TracerBoolConversionError — and jax's static_argnums only
+            # binds POSITIONAL args (self is argnum 0), so the glue
+            # path re-wraps with static_argnums and calls positionally.
+            if cfg.remat:
+                AttnG = nn.remat(CosineAttention, static_argnums=(6, 8))
+                FFG = nn.remat(GEGLUFeedForward, static_argnums=(3,))
+            else:
+                AttnG, FFG = CosineAttention, GEGLUFeedForward
+            mk_attn_g = lambda name: AttnG(
+                dim, cfg.dim_head, cfg.num_heads, dtype=self.dtype,
+                quant=cfg.quant, use_fused=cfg.use_fused_attention,
+                mesh=self.mesh, name=name)
+            mk_ff_g = lambda name: FFG(dim, cfg.ff_mult, dtype=self.dtype,
+                                       quant=cfg.quant, use_glue=use_glue,
+                                       name=name)
             d = None
             for layer in range(cfg.num_layers):
-                x, d = mk_attn(f"layers_{layer}_attn")(
-                    x, attn_bias=self_bias, residual_delta=d,
-                    return_residual=True)
-                x, d = mk_attn(f"layers_{layer}_cross_attn")(
-                    x, context=context, context_mask=context_mask,
-                    attn_bias=cross_bias, cached_kv=cross_kv[layer],
-                    residual_delta=d, return_residual=True)
-                x, d = mk_ff(f"layers_{layer}_ff")(
-                    x, residual_delta=d, return_residual=True)
+                # positional: (x, context, context_mask, attn_bias,
+                #              cached_kv, precompute_kv, residual_delta,
+                #              return_residual)
+                x, d = mk_attn_g(f"layers_{layer}_attn")(
+                    x, None, None, self_bias, None, False, d, True)
+                x, d = mk_attn_g(f"layers_{layer}_cross_attn")(
+                    x, context, context_mask, cross_bias,
+                    cross_kv[layer], False, d, True)
+                x, d = mk_ff_g(f"layers_{layer}_ff")(x, d, True)
             _, embed = LayerNormG(self.dtype, name="final_norm")(
                 x, residual=d)
         else:

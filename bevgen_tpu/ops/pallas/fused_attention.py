@@ -755,6 +755,13 @@ def fused_cosine_attention_fwd_fb2(q, k, v, null_kv, q_scale, k_scale,
     # pipeline fill than the traffic saves (-4.2% / -2.4%; b8 neutral),
     # so small batches keep the legacy 16MB-class budget (self hg=4,
     # cross-attn hg=8 — the previously-measured optimum).
+    #
+    # The decision deliberately keys on the PER-SHARD batch: grid fill
+    # is a per-chip property (the grid has B_local*G rows), so a global
+    # b16 run sharded dp=4 puts a B=4-shaped kernel on each chip —
+    # exactly the single-chip b4 shape where hg=4 measured faster. A
+    # review suggested keying on the global batch instead; that would
+    # apply the b16 measurement to a b4-shaped per-chip grid.
     budget = None if B >= 12 else (15 << 20)
     hg = _auto_head_group_fb2(H, tile_q, Mp, D, head_group, budget)
     G = H // hg

@@ -59,10 +59,15 @@ class ARPipeline(NamedTuple):
             "gpt": self.gpt.init(r3, ids, cond, ii, ei),
         }
 
-    def quantized(self, params, batch_hint: int = None):
+    def quantized(self, params, batch_hint: Optional[int] = None):
         """int8-weight GPT serving tree (kept bf16 compute; ~neutral
         speed — the sequential decode is op-latency bound — but halves
-        the weight footprint, so no batch_hint crossover here)."""
+        the weight footprint).
+
+        batch_hint is accepted for API symmetry with
+        BEVGenPipeline.quantized but INTENTIONALLY UNUSED: there is no
+        batch crossover on this path (int8 never measured slower), so
+        quantization always applies."""
         from bevgen_tpu.ops.quant import quantize_gpt_tree
         qparams = dict(params)
         qparams["gpt"] = jax.tree_util.tree_map(

@@ -97,15 +97,21 @@ class BEVGenPipeline(NamedTuple):
     def generate_fn(self, params, segmentation, intrinsics_inv,
                     extrinsics_inv, rng,
                     init_ids: Optional[jnp.ndarray] = None,
-                    force_not_use_token_critic: bool = False):
-        """BEV raster in, camera images out. Jit this."""
+                    force_not_use_token_critic: bool = False,
+                    return_trajectory: bool = False):
+        """BEV raster in, camera images out. Jit this.
+
+        return_trajectory: also return the (T, b, cam, hw) per-step
+        decode ids (int8-vs-bf16 fidelity dossier, docs/FIDELITY.md)."""
         cond_ids = self.encode_bev(params, segmentation)
-        ids = maskgit_generate(
+        res = maskgit_generate(
             self.maskgit, params["maskgit"], cond_ids,
             intrinsics_inv, extrinsics_inv, rng, init_ids=init_ids,
-            force_not_use_token_critic=force_not_use_token_critic)
+            force_not_use_token_critic=force_not_use_token_critic,
+            return_trajectory=return_trajectory)
+        ids, traj = res if return_trajectory else (res, None)
         images = self.decode_tokens(params, ids)
-        return images, ids
+        return (images, ids, traj) if return_trajectory else (images, ids)
 
     # int8 wins below this batch, bf16 at or above it (round-4
     # TPU-measured sweep, docs/PERF_NOTES.md: int8 22.0/21.3/18.4/16.1

@@ -51,7 +51,8 @@ def main(argv=None):
     keep_cameras = [c for c in args.pop("keep_cameras", "").split(",") if c]
     # pipeline=muse (default, MaskGit) | ar (KV-cached sparse GPT — the
     # reference's legacy cond_transformer_multi_view sampling path);
-    # quant=int8 switches to the int8 serving tree
+    # quant=int8 forces the int8 serving tree; quant=auto picks
+    # int8/bf16 from the measured batch crossover
     pipeline = args.pop("pipeline", "muse")
     quant = args.pop("quant", "none")
     # multi-chip serving: dp/tp (+ dcn=N|auto for multi-slice jobs)
@@ -77,10 +78,16 @@ def main(argv=None):
     if ckpt_path:
         params = load_weights(ckpt_path, params)
         print(f"loaded weights from {ckpt_path}")
-    if quant == "int8":
-        # quantize AFTER loading weights (host-side tree conversion);
-        # auto-reverts to bf16 at large batch where int8 measured slower
-        pipe, params = pipe.quantized(params, batch_hint=batch_size)
+    if quant in ("int8", "auto"):
+        # quantize AFTER loading weights (host-side tree conversion).
+        # quant=int8 FORCES int8 (the user may want the halved weight
+        # footprint regardless of speed); quant=auto consults the
+        # measured batch->mode crossover and keeps bf16 at batches
+        # where int8 measured slower (docs/PERF_NOTES.md sweep).
+        hint = batch_size if quant == "auto" else None
+        pipe, params = pipe.quantized(params, batch_hint=hint)
+    elif quant != "none":
+        raise SystemExit(f"unknown quant={quant!r} (none|int8|auto)")
 
     if fake:
         batches = [fake_batch(cfg, batch_size, seed=seed + i)

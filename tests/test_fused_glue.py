@@ -133,3 +133,48 @@ def test_transformer_glue_path_matches_plain(tiny_cfg=None):
                                np.asarray(out_p.logits), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_g.embed),
                                np.asarray(out_p.embed), atol=2e-4)
+
+
+def test_transformer_glue_remat_grads_match_no_remat():
+    """use_fused_glue=True + remat=True must trace (the glue convention
+    passes Python bools through nn.remat — static_argnums fix) and
+    produce the same gradients as the non-remat glue path (remat is a
+    pure recompute schedule, not a numerics change)."""
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.models import geometry
+    from bevgen_tpu.models.stage2.maskgit import MaskGit
+
+    pipe_cfg = tiny_test_config()
+    cfg_glue = pipe_cfg.transformer.replace(use_fused_glue=True,
+                                            remat=False)
+    cfg_remat = cfg_glue.replace(remat=True)
+    rng = np.random.default_rng(11)
+    b = 2
+    ids = jnp.asarray(rng.integers(
+        0, cfg_glue.vocab_size,
+        (b, cfg_glue.num_cams, cfg_glue.num_cam_tokens)), jnp.int32)
+    cond = jnp.asarray(rng.integers(
+        0, cfg_glue.cond_vocab_size, (b, cfg_glue.num_cond_tokens)),
+        jnp.int32)
+    ii, ei = map(jnp.asarray, geometry.canonical_rig_inverses(cfg_glue, b))
+
+    m_glue = MaskGit(cfg_glue, pipe_cfg.muse)
+    m_remat = MaskGit(cfg_remat, pipe_cfg.muse)
+    params = m_glue.init(jax.random.PRNGKey(0), ids, cond, ii, ei,
+                         method=MaskGit.init_all)
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, ids, cond, ii, ei)
+            return (out.logits.astype(jnp.float32) ** 2).mean()
+        return f
+
+    v_g, g_g = jax.value_and_grad(loss(m_glue))(params)
+    v_r, g_r = jax.value_and_grad(loss(m_remat))(params)
+    np.testing.assert_allclose(np.asarray(v_r), np.asarray(v_g), rtol=1e-6)
+    flat_g = jax.tree_util.tree_leaves(g_g)
+    flat_r = jax.tree_util.tree_leaves(g_r)
+    assert len(flat_g) == len(flat_r)
+    for a, c in zip(flat_g, flat_r):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
