@@ -112,9 +112,37 @@ def _expand_layout_rows(layout_rows, block: int, L: int):
     return jnp.repeat(layout_rows, block, axis=-1)[:, :L]
 
 
+def stack_layer_params(params: Dict, cfg: MultiViewConfig):
+    """Stack the per-layer block dicts into ONE tree with a leading
+    layer axis, fusing the Q/K/V projections into a single (d, 3d)
+    matmul (independent output columns — bit-identical results).
+
+    This is the decode-dispatch fix (round-4 verdict item 4): the
+    per-token step then runs ONE lax.scan over layers instead of an
+    unrolled 24-layer python loop, collapsing the step program by ~24x
+    and letting XLA double-buffer each layer's weight DMA behind the
+    previous layer's compute. Works for both the fp32/bf16 tree and the
+    int8 tree (ops/quant.quantize_gpt_tree: kernel_q + per-out-channel
+    scale concat the same way kernels do)."""
+    p = params["params"]
+    blocks = [p[f"block_{i}"] for i in range(cfg.num_layers)]
+    stacked = dict(jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                          *blocks))
+    q, k, v = stacked.pop("query"), stacked.pop("key"), stacked.pop("value")
+    qkv = {}
+    for field in q:
+        axis = -1 if field in ("kernel", "kernel_q", "scale", "bias") else None
+        assert axis is not None, f"unexpected dense field {field!r}"
+        qkv[field] = jnp.concatenate([q[field], k[field], v[field]],
+                                     axis=axis)
+    stacked["qkv"] = qkv
+    return stacked
+
+
 def prefill(params: Dict, cfg: MultiViewConfig, static: ARStatic):
-    """Run the nc condition positions, returning K/V caches sized for
-    the full sequence + the logits predicting decode step 0."""
+    """Run the nc condition positions, returning K/V caches
+    ((num_layers, b, H, L, dh) arrays) sized for the full sequence +
+    the logits predicting decode step 0."""
     p = params["params"]
     b, nc, d = static.cond_emb.shape
     L = cfg.gpt_block_size
@@ -158,7 +186,8 @@ def prefill(params: Dict, cfg: MultiViewConfig, static: ARStatic):
 
     last = _ln(p["ln_f"], x[:, -1])
     logits0 = _dense(p["head"], last)
-    return tuple(k_cache), tuple(v_cache), logits0.astype(jnp.float32)
+    return jnp.stack(k_cache), jnp.stack(v_cache), \
+        logits0.astype(jnp.float32)
 
 
 def _mlp(blk, x):
@@ -168,9 +197,16 @@ def _mlp(blk, x):
 
 
 def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
-                k_cache, v_cache, s, x_s):
+                k_cache, v_cache, s, x_s, stacked=None):
     """One sequence position s (= nc + t) through all layers.
-    x_s: (b, d) input embedding. Returns (logits (b, vocab), caches)."""
+    x_s: (b, d) input embedding; k_cache/v_cache: (nl, b, H, L, dh).
+    Returns (logits (b, vocab), caches).
+
+    The layers run as ONE lax.scan over the stacked weight tree
+    (stack_layer_params) with the fused QKV projection — ~24x fewer ops
+    in the step program than the round-3 unrolled python loop, which
+    was >99% device-op-latency-bound (docs/PERF_NOTES.md AR budget).
+    Pass `stacked` (built once per generate) to avoid restacking."""
     p = params["params"]
     b, d = x_s.shape
     L = cfg.gpt_block_size
@@ -178,6 +214,8 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
     dh = cfg.hidden_size // H
     block = cfg.sparse_block_size
     scale = 1.0 / float(np.sqrt(dh))
+    if stacked is None:
+        stacked = stack_layer_params(params, cfg)
 
     col = jnp.arange(L)
     lay_rows = jax.lax.dynamic_index_in_dim(
@@ -190,23 +228,22 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
     else:
         bias_row = 0.0
 
-    x = x_s[:, None, :]                                        # (b,1,d)
-    for i in range(cfg.num_layers):
-        blk = p[f"block_{i}"]
+    def layer(carry, xs_l):
+        x, kc, vc = carry
+        i, blk = xs_l["i"], xs_l["blk"]
         xn = _ln(blk["ln1"], x)
-        q = _dense(blk["query"], xn).reshape(b, 1, H, dh).transpose(0, 2, 1, 3)
-        k = _dense(blk["key"], xn).reshape(b, H, dh)
-        v = _dense(blk["value"], xn).reshape(b, H, dh)
-        k_i = jax.lax.dynamic_update_slice(
-            k_cache[i], k[:, :, None, :].astype(k_cache[i].dtype),
-            (0, 0, s, 0))
-        v_i = jax.lax.dynamic_update_slice(
-            v_cache[i], v[:, :, None, :].astype(v_cache[i].dtype),
-            (0, 0, s, 0))
-        k_cache = k_cache[:i] + (k_i,) + k_cache[i + 1:]
-        v_cache = v_cache[:i] + (v_i,) + v_cache[i + 1:]
-        scores = jnp.einsum("bhd,bhjd->bhj", q[:, :, 0].astype(jnp.float32),
-                            k_i.astype(jnp.float32))   # (b,H,L)
+        qkv = _dense(blk["qkv"], xn)[:, 0]                 # (b, 3*hidden)
+        q, k, v = (qkv[:, :H * dh].reshape(b, H, dh),
+                   qkv[:, H * dh:2 * H * dh].reshape(b, H, dh),
+                   qkv[:, 2 * H * dh:].reshape(b, H, dh))
+        kc = jax.lax.dynamic_update_slice(
+            kc, k[None, :, :, None, :].astype(kc.dtype), (i, 0, 0, s, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v[None, :, :, None, :].astype(vc.dtype), (i, 0, 0, s, 0))
+        k_i = jax.lax.dynamic_index_in_dim(kc, i, 0, keepdims=False)
+        v_i = jax.lax.dynamic_index_in_dim(vc, i, 0, keepdims=False)
+        scores = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
+                            k_i.astype(jnp.float32))       # (b,H,L)
         scores = (scores + bias_row) * scale
         scores = jnp.where(mask_row[None], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
@@ -215,6 +252,11 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
         attn = attn.reshape(b, 1, cfg.hidden_size)
         x = xn + attn
         x = x + _mlp(blk, x)
+        return (x, kc, vc), None
+
+    xs = {"i": jnp.arange(cfg.num_layers, dtype=jnp.int32), "blk": stacked}
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer, (x_s[:, None, :], k_cache, v_cache), xs)
 
     out = _ln(p["ln_f"], x[:, 0])
     logits = _dense(p["head"], out)
@@ -251,6 +293,7 @@ def ar_sample_cached(model, params, bev_indices, intrinsics_inv,
     static = precompute_static(params, cfg, bev_indices, intrinsics_inv,
                                extrinsics_inv)
     k_cache, v_cache, logits0 = prefill(params, cfg, static)
+    stacked = stack_layer_params(params, cfg)  # once per generate
 
     ids = jnp.full((b, cam, hw), cfg.vocab_size, jnp.int32)
     if init_ids is not None:
@@ -274,7 +317,8 @@ def ar_sample_cached(model, params, bev_indices, intrinsics_inv,
         ids = ids.at[:, c_i, p_i].set(tok)
         x_s = token_embedding(params, cfg, static, tok, step["raw"])
         logits, k_cache, v_cache = decode_step(
-            params, cfg, static, k_cache, v_cache, nc + t, x_s)
+            params, cfg, static, k_cache, v_cache, nc + t, x_s,
+            stacked=stacked)
         return (ids, k_cache, v_cache, logits), None
 
     xs = {"t": jnp.arange(N, dtype=jnp.int32),
@@ -300,6 +344,7 @@ def teacher_forced_logits(model, params, tokens, bev_indices,
     static = precompute_static(params, cfg, bev_indices, intrinsics_inv,
                                extrinsics_inv)
     k_cache, v_cache, logits0 = prefill(params, cfg, static)
+    stacked = stack_layer_params(params, cfg)
     flat = tokens.reshape(b, -1)
 
     def body(carry, step):
@@ -308,7 +353,8 @@ def teacher_forced_logits(model, params, tokens, bev_indices,
         tok = flat[:, raw]
         x_s = token_embedding(params, cfg, static, tok, raw)
         new_logits, k_cache, v_cache = decode_step(
-            params, cfg, static, k_cache, v_cache, nc + step["t"], x_s)
+            params, cfg, static, k_cache, v_cache, nc + step["t"], x_s,
+            stacked=stacked)
         return (k_cache, v_cache, new_logits), logits
 
     xs = {"t": jnp.arange(N, dtype=jnp.int32),
