@@ -113,32 +113,60 @@ class BEVGenPipeline(NamedTuple):
         images = self.decode_tokens(params, ids)
         return (images, ids, traj) if return_trajectory else (images, ids)
 
-    # int8 wins below this batch, bf16 at or above it (round-4
-    # TPU-measured sweep, docs/PERF_NOTES.md: int8 22.0/21.3/18.4/16.1
-    # vs bf16 19.4/19.5/18.8/17.5 img/s at b2/4/8/16 — at large batch
-    # the quant/requant elementwise overhead rides the already-
-    # saturated VPU/HBM while small batches are matmul-bound where the
-    # double-rate int8 MXU pays)
+    # fallback crossover when the measured table is absent: int8 wins
+    # below this batch, bf16 at or above it (round-4 sweep summary —
+    # at large batch the quant/requant elementwise overhead rides the
+    # already-saturated VPU/HBM while small batches are matmul-bound
+    # where the double-rate int8 MXU pays)
     INT8_CROSSOVER_BATCH = 8
+
+    @staticmethod
+    def int8_beats_bf16(batch_hint: int) -> Optional[bool]:
+        """Consult the shipped measured table
+        (configs/int8_crossover.json, regenerable by
+        scripts_dev/crossover_sweep.py): True/False from the nearest
+        measured batch that has both modes, None when the table is
+        missing/unusable (caller falls back to INT8_CROSSOVER_BATCH)."""
+        import json
+        import os
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "configs", "int8_crossover.json")
+        try:
+            with open(path) as f:
+                meas = json.load(f)["measurements"]
+            both = {int(b): v for b, v in meas.items()
+                    if "bf16" in v and "int8" in v}
+            if not both:
+                return None
+            nearest = min(both, key=lambda b: (abs(b - batch_hint), b))
+            return both[nearest]["int8"] > both[nearest]["bf16"]
+        except (OSError, ValueError, KeyError):
+            return None
 
     def quantized(self, params, batch_hint: Optional[int] = None):
         """int8 W8A8 serving variant: returns (pipeline, params) with the
         decode transformer's hot dense layers quantized (ops/quant.py).
         Stage-1 convs stay bf16 (they are ~2% of the budget).
 
-        batch_hint: intended serving batch — at or above
-        INT8_CROSSOVER_BATCH the bf16 pipeline is FASTER, so the call
+        batch_hint: intended serving batch — where the MEASURED table
+        (configs/int8_crossover.json) says bf16 is faster, the call
         auto-selects bf16 (returns self unchanged, with a notice)
         instead of handing the user a slower "optimized" pipeline.
         Pass batch_hint=None to force quantization regardless (the
-        bench does, to publish the honest int8-at-b16 row)."""
+        bench does, to publish the honest int8-at-b16 row; the CLI's
+        explicit quant=int8 does too — the user may want the halved
+        weight footprint)."""
         import dataclasses
         from bevgen_tpu.ops.quant import quantize_dense_tree
-        if batch_hint is not None and batch_hint >= self.INT8_CROSSOVER_BATCH:
-            print(f"[quantized] batch {batch_hint} >= crossover "
-                  f"{self.INT8_CROSSOVER_BATCH}: bf16 is faster than int8 "
-                  "at this batch (docs/PERF_NOTES.md) — keeping bf16")
-            return self, params
+        if batch_hint is not None:
+            wins = self.int8_beats_bf16(batch_hint)
+            if wins is None:  # no table — baked fallback threshold
+                wins = batch_hint < self.INT8_CROSSOVER_BATCH
+            if not wins:
+                print(f"[quantized] bf16 measured faster than int8 at "
+                      f"batch {batch_hint} (configs/int8_crossover.json) "
+                      "— keeping bf16")
+                return self, params
         cfg = dataclasses.replace(
             self.config, transformer=self.config.transformer.replace(
                 quant="int8"))

@@ -41,6 +41,9 @@ def main(argv=None):
                         os.path.join(os.environ.get("SAVE_DATA_DIR", "output"),
                                      "eval_generate"))
     ckpt_path = args.pop("ckpt_path", None)
+    # ema=true: evaluate with the -EMA weight tree (the reference swaps
+    # EMA weights in for val/test, modules/stage2/ema.py:94-146)
+    use_ema = args.pop("ema", "false").lower() == "true"
     seed = int(args.pop("seed", cfg.seed))
     split = args.pop("datamodule.split", "val")
     limit = int(args.pop("limit_batches", 0))
@@ -76,8 +79,13 @@ def main(argv=None):
         pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
     params = pipe.init_params(jax.random.PRNGKey(seed))
     if ckpt_path:
+        if use_ema:
+            from bevgen_tpu.training.checkpoints import resolve_ema_path
+            ckpt_path = resolve_ema_path(ckpt_path)
         params = load_weights(ckpt_path, params)
         print(f"loaded weights from {ckpt_path}")
+    elif use_ema:
+        raise SystemExit("ema=true requires ckpt_path=")
     if quant in ("int8", "auto"):
         # quantize AFTER loading weights (host-side tree conversion).
         # quant=int8 FORCES int8 (the user may want the halved weight

@@ -45,6 +45,10 @@ def main(argv=None):
     # ema_warmup=true ramps the EMA decay from 0 for from-scratch runs
     # (default: the reference's fixed decay, ema.py:148-151)
     ema_warmup = args.pop("ema_warmup", "false").lower() == "true"
+    # eval_ema=true (default): run validation with the EMA weight tree,
+    # matching the reference EMA callback's swap-for-val/test behavior
+    # (modules/stage2/ema.py:94-146)
+    eval_ema = args.pop("eval_ema", "true").lower() == "true"
     # reference LR rule: accumulate x devices x per-device-batch x base_lr
     # (generate.py:58). Our batch_size is the GLOBAL batch (the loader
     # yields it whole and shard_batch splits it over dp), so the device
@@ -217,9 +221,11 @@ def main(argv=None):
                 if mgr.save_step(i + 1, state.params):
                     mgr.save_ema(i + 1, state.ema.params)
             if val_batches is not None and (i + 1) % eval_every == 0:
+                # EMA weights for validation (reference ema.py:94-146)
+                vparams = state.ema.params if eval_ema else state.params
                 print(json.dumps({"step": i + 1,
-                                  "val_ce": round(val_batches(state.params),
-                                                  4)}))
+                                  "val_ce": round(val_batches(vparams), 4),
+                                  "val_ema": eval_ema}))
             if guard.should_stop:
                 print(json.dumps({"step": last_step, "preempted": True}))
                 break

@@ -143,6 +143,45 @@ class CheckpointManager:
         return ckpt_io.restore_checkpoint(path, example)
 
 
+def resolve_ema_path(path: str) -> str:
+    """Resolve the `-EMA` sibling of a checkpoint path (the reference
+    swaps EMA weights in for val/test — modules/stage2/ema.py:94-146;
+    save_ema writes `step_XXXXXXXX-EMA` siblings here).
+
+    Accepts either a concrete step dir (`.../step_00000042`) or a run
+    dir containing step_* tags (picks the LATEST-pointed, else newest,
+    step's EMA sibling). Raises FileNotFoundError when no EMA
+    checkpoint exists — silently serving non-EMA weights when the user
+    asked for EMA would be a quality bug."""
+    p = Path(path)
+    if p.name.endswith("-EMA"):
+        return str(p)
+    if p.is_dir() and p.name.startswith(("step_", "epoch_")):
+        ema = p.parent / (p.name + "-EMA")
+        if not ema.is_dir():
+            raise FileNotFoundError(
+                f"no EMA sibling for {p} (expected {ema})")
+        return str(ema)
+    if p.is_dir():
+        marker = p / "LATEST"
+        if marker.exists():
+            tag = marker.read_text().strip()
+        else:
+            tags = sorted(d.name for d in p.iterdir() if d.is_dir()
+                          and d.name.startswith("step_")
+                          and not d.name.endswith("-EMA"))
+            if not tags:
+                raise FileNotFoundError(f"no step_* checkpoints in {p}")
+            tag = tags[-1]
+        ema = p / (tag + "-EMA")
+        if not ema.is_dir():
+            raise FileNotFoundError(
+                f"no EMA sibling for {p / tag} (expected {ema})")
+        return str(ema)
+    raise FileNotFoundError(
+        f"ema=true needs an orbax checkpoint dir, got {path}")
+
+
 def _tree_has_key(tree: Any, key: str) -> bool:
     from collections.abc import Mapping
     if isinstance(tree, Mapping):

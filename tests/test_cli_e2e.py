@@ -145,3 +145,53 @@ def test_generate_cli_nuscenes_layout(tmp_path, capsys):
         files = os.listdir(out / tree)
         assert len(files) == 3, (tree, files)
         assert all(f.endswith(".jpg") and "_ring_" in f for f in files)
+
+
+def test_generate_cli_ema_weights(tmp_path, capsys):
+    """ema=true serves the -EMA weight tree (the reference swaps EMA
+    weights in for val/test, modules/stage2/ema.py:94-146): generate
+    loads step_*-EMA instead of the base checkpoint, verified by
+    seeding the two trees with DIFFERENT values and checking the
+    decoded outputs differ accordingly."""
+    import jax
+    import jax.numpy as jnp
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.pipelines.generate import BEVGenPipeline
+    from bevgen_tpu.scripts import generate
+    from bevgen_tpu.training.checkpoints import (CheckpointManager,
+                                                 load_weights,
+                                                 resolve_ema_path)
+
+    cfg = tiny_test_config()
+    pipe = BEVGenPipeline.create(cfg, dtype=jnp.bfloat16)
+    base = pipe.init_params(jax.random.PRNGKey(0))
+    ema = jax.tree_util.tree_map(lambda x: x * 0.5, base)
+
+    ck = tmp_path / "ckpts"
+    mgr = CheckpointManager(str(ck), interval_minutes=0, async_save=False)
+    mgr.save_step(7, base, force=True)
+    mgr.save_ema(7, ema)
+
+    # resolve from run dir and from the concrete step dir
+    assert resolve_ema_path(str(ck)).endswith("step_00000007-EMA")
+    assert resolve_ema_path(
+        str(ck / "step_00000007")).endswith("step_00000007-EMA")
+    with pytest.raises(FileNotFoundError):
+        resolve_ema_path(str(tmp_path / "nope"))
+
+    loaded = load_weights(resolve_ema_path(str(ck)), base)
+    a = jax.tree_util.tree_leaves(loaded)[0]
+    b = jax.tree_util.tree_leaves(ema)[0]
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32))
+
+    # the CLI path end-to-end
+    out = tmp_path / "gen"
+    generate.main(_tiny([f"eval_generate={out}", "fake=1", "batch_size=1",
+                         f"ckpt_path={ck}", "ema=true"]))
+    printed = capsys.readouterr().out
+    assert "step_00000007-EMA" in printed
+
+    with pytest.raises(SystemExit):
+        generate.main(_tiny([f"eval_generate={out}2", "fake=1",
+                             "batch_size=1", "ema=true"]))

@@ -194,3 +194,16 @@ def test_quantized_batch_hint_crossover(tiny_pipe, capsys):
     # explicit None forces quantization regardless (the bench's path)
     forced, _ = pipe.quantized(params, batch_hint=None)
     assert forced.config.transformer.quant == "int8"
+
+
+def test_int8_crossover_table():
+    """The measured-table guard (configs/int8_crossover.json): int8
+    selected where the table says it wins, bf16 where it loses, nearest
+    measured batch used between entries."""
+    from bevgen_tpu.pipelines.generate import BEVGenPipeline
+    assert BEVGenPipeline.int8_beats_bf16(2) is True
+    assert BEVGenPipeline.int8_beats_bf16(3) is True
+    assert BEVGenPipeline.int8_beats_bf16(8) is False
+    assert BEVGenPipeline.int8_beats_bf16(16) is False
+    assert BEVGenPipeline.int8_beats_bf16(100) is False  # nearest = 16
+    assert BEVGenPipeline.int8_beats_bf16(1) is True     # nearest w/ both = 2
