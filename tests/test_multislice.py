@@ -220,3 +220,25 @@ def test_ar_sharded_train_step_matches_single_device():
                                rtol=1e-5)
     for a, b in zip(results["dp4"][1], results["dp1"][1]):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def _tiny_gen_setup(batch=8):
+    """Deterministic tiny generate setup shared with the two-process
+    worker (tests/distributed_worker.py): every process (and the parent
+    test) rebuilds the identical pipe/params/batch/rng from seeds."""
+    import dataclasses
+
+    from bevgen_tpu.core.config import tiny_test_config
+    from bevgen_tpu.data.fake import fake_batch
+    from bevgen_tpu.pipelines.generate import BEVGenPipeline
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, muse=dataclasses.replace(cfg.muse, sample_iterations=2))
+    pipe = BEVGenPipeline.create(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    b = fake_batch(cfg, batch_size=batch, seed=5)
+    arrays = (jnp.asarray(b["segmentation"]),
+              jnp.asarray(b["intrinsics_inv"]),
+              jnp.asarray(b["extrinsics_inv"]))
+    return pipe, params, arrays, jax.random.PRNGKey(11)
