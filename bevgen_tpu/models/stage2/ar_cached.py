@@ -196,24 +196,40 @@ def _mlp(blk, x):
     return _dense(blk["mlp_proj"], h)
 
 
+PREFIX_BUCKET = 512
+
+
 def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
-                k_cache, v_cache, s, x_s, stacked=None):
+                k_cache, v_cache, s, x_s, stacked=None,
+                prefix_bucket: Optional[int] = None):
     """One sequence position s (= nc + t) through all layers.
     x_s: (b, d) input embedding; k_cache/v_cache: (nl, b, H, L, dh).
     Returns (logits (b, vocab), caches).
 
-    The layers run as ONE lax.scan over the stacked weight tree
-    (stack_layer_params) with the fused QKV projection — ~24x fewer ops
-    in the step program than the round-3 unrolled python loop, which
-    was >99% device-op-latency-bound (docs/PERF_NOTES.md AR budget).
+    Two memory-traffic structures (the per-token step is HBM-bound:
+    weights + K/V cache reads dominate — docs/PERF_NOTES.md AR budget):
+
+      * layers run as ONE lax.scan over the stacked weight tree
+        (stack_layer_params) with the fused QKV projection — ~24x fewer
+        ops in the step program than the round-3 unrolled python loop;
+      * causal PREFIX BUCKETING: position s only attends cols <= s, so
+        the scores/AV reads slice the cache to a static prefix of
+        ceil((s+1)/prefix_bucket)*prefix_bucket columns, selected by
+        lax.switch over ~L/prefix_bucket branches (static shapes per
+        branch; XLA requires them). Mean cache-read traffic drops to
+        ~(L/2 + bucket/2)/L of the full-width read — ~40% less at the
+        nuScenes shapes — independent of sparsity density. Only
+        exactly-zero softmax terms are removed, but XLA's
+        width-dependent reduction order makes results equal to f32
+        reassociation noise (~1e-4 relative), not bitwise
+        (tests/test_ar_cached.py::test_prefix_bucketing_bit_identical).
+
     Pass `stacked` (built once per generate) to avoid restacking."""
     p = params["params"]
-    b, d = x_s.shape
     L = cfg.gpt_block_size
-    H = cfg.num_heads
-    dh = cfg.hidden_size // H
     block = cfg.sparse_block_size
-    scale = 1.0 / float(np.sqrt(dh))
+    if prefix_bucket is None:
+        prefix_bucket = PREFIX_BUCKET  # module var: tests override it
     if stacked is None:
         stacked = stack_layer_params(params, cfg)
 
@@ -226,7 +242,35 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
         bias_row = jax.lax.dynamic_index_in_dim(
             static.bias_rows, s, axis=0, keepdims=False)       # (L,)
     else:
-        bias_row = 0.0
+        bias_row = None
+
+    n_buckets = max(1, -(-L // prefix_bucket))
+    if n_buckets == 1:
+        return _decode_step_prefix(p, cfg, stacked, mask_row, bias_row,
+                                   k_cache, v_cache, s, x_s, L)
+
+    def make_branch(pl):
+        def branch(ops):
+            kc, vc, s_, x_ = ops
+            return _decode_step_prefix(p, cfg, stacked, mask_row,
+                                       bias_row, kc, vc, s_, x_, pl)
+        return branch
+
+    branches = [make_branch(min((i + 1) * prefix_bucket, L))
+                for i in range(n_buckets)]
+    idx = jnp.minimum(s // prefix_bucket, n_buckets - 1)
+    return jax.lax.switch(idx, branches, (k_cache, v_cache, s, x_s))
+
+
+def _decode_step_prefix(p, cfg, stacked, mask_row, bias_row,
+                        k_cache, v_cache, s, x_s, pl: int):
+    """The layer scan at a STATIC cache-prefix width pl (>= s+1)."""
+    b, d = x_s.shape
+    H = cfg.num_heads
+    dh = cfg.hidden_size // H
+    scale = 1.0 / float(np.sqrt(dh))
+    mask_pl = mask_row[:, :pl]
+    bias_pl = 0.0 if bias_row is None else bias_row[:pl]
 
     def layer(carry, xs_l):
         x, kc, vc = carry
@@ -240,12 +284,14 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
             kc, k[None, :, :, None, :].astype(kc.dtype), (i, 0, 0, s, 0))
         vc = jax.lax.dynamic_update_slice(
             vc, v[None, :, :, None, :].astype(vc.dtype), (i, 0, 0, s, 0))
-        k_i = jax.lax.dynamic_index_in_dim(kc, i, 0, keepdims=False)
-        v_i = jax.lax.dynamic_index_in_dim(vc, i, 0, keepdims=False)
+        k_i = jax.lax.dynamic_index_in_dim(
+            kc, i, 0, keepdims=False)[:, :, :pl]
+        v_i = jax.lax.dynamic_index_in_dim(
+            vc, i, 0, keepdims=False)[:, :, :pl]
         scores = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
-                            k_i.astype(jnp.float32))       # (b,H,L)
-        scores = (scores + bias_row) * scale
-        scores = jnp.where(mask_row[None], scores, NEG_INF)
+                            k_i.astype(jnp.float32))       # (b,H,pl)
+        scores = (scores + bias_pl) * scale
+        scores = jnp.where(mask_pl[None], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("bhj,bhjd->bhd", probs,
                           v_i.astype(jnp.float32)).astype(x.dtype)

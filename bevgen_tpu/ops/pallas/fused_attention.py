@@ -762,7 +762,16 @@ def fused_cosine_attention_fwd_fb2(q, k, v, null_kv, q_scale, k_scale,
     # exactly the single-chip b4 shape where hg=4 measured faster. A
     # review suggested keying on the global batch instead; that would
     # apply the b16 measurement to a b4-shaped per-chip grid.
-    budget = None if B >= 12 else (15 << 20)
+    # BEVGEN_FB2_BATCH_MODE=big|small overrides for on-chip A/B probes
+    # (scripts_dev sweeps).
+    import os
+    mode = os.environ.get("BEVGEN_FB2_BATCH_MODE")
+    if mode == "big":
+        budget = None
+    elif mode == "small":
+        budget = 15 << 20
+    else:
+        budget = None if B >= 12 else (15 << 20)
     hg = _auto_head_group_fb2(H, tile_q, Mp, D, head_group, budget)
     G = H // hg
 

@@ -125,3 +125,28 @@ def test_int8_weight_quantized_decode_tracks_fp32():
                                      jax.random.PRNGKey(1), top_k=8)
     assert out.shape == (2, cfg.num_cams, *cfg.cam_latent_res)
     assert int(out.max()) < cfg.vocab_size
+
+
+@pytest.mark.slow
+def test_prefix_bucketing_bit_identical(monkeypatch):
+    """Causal prefix bucketing (lax.switch over static cache-prefix
+    widths) removes only exactly-zero softmax terms (NEG_INF underflows
+    exp to 0.0 in f32) — but XLA associates the narrower reductions
+    differently, so equality is to f32 reassociation noise (measured
+    ~3e-4 relative after 2 layers of amplification), not bitwise.
+    Force multiple buckets at the tiny shape and compare teacher-forced
+    logits against the single-bucket path."""
+    cfg = gpt_cfg(camera_bias=True)
+    model = SparseGPT(cfg, use_pallas=False)
+    ids, cond, ii, ei = make_inputs(cfg, seed=3)
+    params = model.init(jax.random.PRNGKey(1), ids, cond, ii, ei)
+
+    full = np.asarray(ar_cached.teacher_forced_logits(
+        model, params, ids, cond, ii, ei))
+    L = cfg.gpt_block_size
+    monkeypatch.setattr(ar_cached, "PREFIX_BUCKET", max(8, L // 4))
+    assert -(-L // ar_cached.PREFIX_BUCKET) >= 3  # actually multi-branch
+    bucketed = np.asarray(ar_cached.teacher_forced_logits(
+        model, params, ids, cond, ii, ei))
+    np.testing.assert_allclose(bucketed, full, rtol=5e-3,
+                               atol=1e-4)
