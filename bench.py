@@ -199,6 +199,26 @@ def measure_ar(reps, budget):
         if b == sweep[0]:
             out["ar_vs_reference"] = round(ips / AR_BASELINE_IMG_PER_S, 1)
 
+    # int8-weight GPT serving row (halved per-step weight traffic —
+    # the decode step is HBM-bound after the stacked-scan/prefix work)
+    if _remaining(budget) >= 150:
+        qpipe, qparams = pipe.quantized(params)
+        qgen = jax.jit(lambda p, s, i1, i2, r: qpipe.generate_fn(
+            p, s, i1, i2, r))
+        b0 = sweep[0]
+        batch = fake_batch(cfg, batch_size=b0)
+        seg = jnp.asarray(batch["segmentation"])
+        ii = jnp.asarray(batch["intrinsics_inv"])
+        ei = jnp.asarray(batch["extrinsics_inv"])
+
+        def run_qgen():
+            imgs, ids = qgen(qparams, seg, ii, ei, next(kr))
+            np.asarray(ids[0, 0])
+        dt = timed(run_qgen, max(2, min(reps, 3)))
+        out["ar_img_per_s_int8"] = round(b0 * tf.num_cams / dt, 3)
+    else:
+        out.setdefault("skipped", []).append("ar_int8")
+
     if _remaining(budget) < 90:
         note("AR train/attribution rows skipped (budget)")
         out.setdefault("skipped", []).append("ar_train_attr")
