@@ -52,7 +52,7 @@ def test_encode_bev_token_range(tiny_pipe):
 def test_ar_sparse_pipeline_end_to_end():
     import jax
     from bevgen_tpu.core.config import tiny_test_config
-    from bevgen_tpu.pipelines.ar import ARPipeline
+    from bevgen_tpu.pipelines.ar_generate import ARPipeline
     cfg = tiny_test_config()
     # AR path with small sparse blocks on the tiny geometry
     import dataclasses

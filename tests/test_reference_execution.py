@@ -995,7 +995,7 @@ def test_ref_ar_pixel_end_to_end_matches(monkeypatch, tmp_path):
 
     from bevgen_tpu.core.config import (MuseConfig, MultiViewConfig as MVC,
                                         PipelineConfig, Stage1Config)
-    from bevgen_tpu.pipelines.ar import ARPipeline
+    from bevgen_tpu.pipelines.ar_generate import ARPipeline
     from bevgen_tpu.training.checkpoints import load_weights
 
     ref_vqgan = rh.import_ref_stage1()

@@ -280,7 +280,7 @@ def test_ref_bce_seg_loss_matches():
 def test_ref_ar_checkpoint_end_to_end(ref_vqgan, tmp_path, monkeypatch):
     from bevgen_tpu.core.config import (MultiViewConfig, MuseConfig,
                                         PipelineConfig)
-    from bevgen_tpu.pipelines.ar import ARPipeline
+    from bevgen_tpu.pipelines.ar_generate import ARPipeline
     from bevgen_tpu.training.checkpoints import load_weights
     import ref_harness as rh
     import test_reference_execution as tre
