@@ -199,9 +199,37 @@ def _mlp(blk, x):
 PREFIX_BUCKET = 512
 
 
+def _resolve_prefix_bucket() -> int:
+    """Module var (tests override PREFIX_BUCKET); env knob
+    BEVGEN_AR_PREFIX_BUCKET for on-chip A/Bs and as an escape hatch
+    (0 disables bucketing -> full-width cache reads)."""
+    import os
+    return int(os.environ.get("BEVGEN_AR_PREFIX_BUCKET",
+                              PREFIX_BUCKET)) or (1 << 30)
+
+
+def bucket_ranges(L: int, nc: int, N: int, bucket: int):
+    """Chunk the decode steps t in [0, N) by the static cache-prefix
+    width their positions s = nc + t need: returns [(t0, t1, pl)] where
+    every step in [t0, t1) attends only columns < pl = the bucket
+    boundary above its s. The token scan then runs as ONE lax.scan per
+    chunk with a STATIC prefix (XLA needs static shapes; a lax.switch
+    over widths inside the step was tried first and CRASHED the TPU
+    runtime — large carried caches through switch branches)."""
+    out = []
+    t = 0
+    while t < N:
+        c = (nc + t) // bucket
+        pl = min((c + 1) * bucket, L)
+        t1 = min(N, (c + 1) * bucket - nc)
+        out.append((t, t1, pl))
+        t = t1
+    return out
+
+
 def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
                 k_cache, v_cache, s, x_s, stacked=None,
-                prefix_bucket: Optional[int] = None):
+                prefix: Optional[int] = None):
     """One sequence position s (= nc + t) through all layers.
     x_s: (b, d) input embedding; k_cache/v_cache: (nl, b, H, L, dh).
     Returns (logits (b, vocab), caches).
@@ -212,11 +240,10 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
       * layers run as ONE lax.scan over the stacked weight tree
         (stack_layer_params) with the fused QKV projection — ~24x fewer
         ops in the step program than the round-3 unrolled python loop;
-      * causal PREFIX BUCKETING: position s only attends cols <= s, so
-        the scores/AV reads slice the cache to a static prefix of
-        ceil((s+1)/prefix_bucket)*prefix_bucket columns, selected by
-        lax.switch over ~L/prefix_bucket branches (static shapes per
-        branch; XLA requires them). Mean cache-read traffic drops to
+      * causal PREFIX slicing: position s only attends cols <= s, so
+        with `prefix` = a STATIC width >= s+1 (drivers chunk the token
+        scan by bucket_ranges) the scores/AV reads slice the cache to
+        prefix columns. Mean cache-read traffic drops to
         ~(L/2 + bucket/2)/L of the full-width read — ~40% less at the
         nuScenes shapes — independent of sparsity density. Only
         exactly-zero softmax terms are removed, but XLA's
@@ -228,8 +255,8 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
     p = params["params"]
     L = cfg.gpt_block_size
     block = cfg.sparse_block_size
-    if prefix_bucket is None:
-        prefix_bucket = PREFIX_BUCKET  # module var: tests override it
+    if prefix is None:
+        prefix = L
     if stacked is None:
         stacked = stack_layer_params(params, cfg)
 
@@ -244,22 +271,8 @@ def decode_step(params: Dict, cfg: MultiViewConfig, static: ARStatic,
     else:
         bias_row = None
 
-    n_buckets = max(1, -(-L // prefix_bucket))
-    if n_buckets == 1:
-        return _decode_step_prefix(p, cfg, stacked, mask_row, bias_row,
-                                   k_cache, v_cache, s, x_s, L)
-
-    def make_branch(pl):
-        def branch(ops):
-            kc, vc, s_, x_ = ops
-            return _decode_step_prefix(p, cfg, stacked, mask_row,
-                                       bias_row, kc, vc, s_, x_, pl)
-        return branch
-
-    branches = [make_branch(min((i + 1) * prefix_bucket, L))
-                for i in range(n_buckets)]
-    idx = jnp.minimum(s // prefix_bucket, n_buckets - 1)
-    return jax.lax.switch(idx, branches, (k_cache, v_cache, s, x_s))
+    return _decode_step_prefix(p, cfg, stacked, mask_row, bias_row,
+                               k_cache, v_cache, s, x_s, prefix)
 
 
 def _decode_step_prefix(p, cfg, stacked, mask_row, bias_row,
@@ -352,26 +365,33 @@ def ar_sample_cached(model, params, bev_indices, intrinsics_inv,
             l = top_k_logits(l, top_k)
         return jax.random.categorical(key, l).astype(jnp.int32)
 
-    def body(carry, step):
-        ids, k_cache, v_cache, logits = carry
-        t, key = step["t"], step["rng"]
-        c_i = step["cam"]
-        p_i = step["pos"]
-        tok = sample_from(logits, key)
-        if keep is not None:
-            tok = jnp.where(keep[:, c_i, p_i], ids[:, c_i, p_i], tok)
-        ids = ids.at[:, c_i, p_i].set(tok)
-        x_s = token_embedding(params, cfg, static, tok, step["raw"])
-        logits, k_cache, v_cache = decode_step(
-            params, cfg, static, k_cache, v_cache, nc + t, x_s,
-            stacked=stacked)
-        return (ids, k_cache, v_cache, logits), None
+    def make_body(pl):
+        def body(carry, step):
+            ids, k_cache, v_cache, logits = carry
+            t, key = step["t"], step["rng"]
+            c_i = step["cam"]
+            p_i = step["pos"]
+            tok = sample_from(logits, key)
+            if keep is not None:
+                tok = jnp.where(keep[:, c_i, p_i], ids[:, c_i, p_i], tok)
+            ids = ids.at[:, c_i, p_i].set(tok)
+            x_s = token_embedding(params, cfg, static, tok, step["raw"])
+            logits, k_cache, v_cache = decode_step(
+                params, cfg, static, k_cache, v_cache, nc + t, x_s,
+                stacked=stacked, prefix=pl)
+            return (ids, k_cache, v_cache, logits), None
+        return body
 
     xs = {"t": jnp.arange(N, dtype=jnp.int32),
           "rng": jax.random.split(rng, N),
           "cam": fwd_cam, "pos": fwd_pos, "raw": fwd_raw}
-    (ids, _, _, _), _ = jax.lax.scan(
-        body, (ids, k_cache, v_cache, logits0), xs)
+    carry = (ids, k_cache, v_cache, logits0)
+    # one lax.scan per static cache-prefix chunk (see bucket_ranges)
+    L = cfg.gpt_block_size
+    for t0, t1, pl in bucket_ranges(L, nc, N, _resolve_prefix_bucket()):
+        chunk = jax.tree_util.tree_map(lambda x: x[t0:t1], xs)
+        carry, _ = jax.lax.scan(make_body(pl), carry, chunk)
+    ids = carry[0]
     h, w = cfg.cam_latent_res
     return ids.reshape(b, cam, h, w)
 
@@ -393,19 +413,28 @@ def teacher_forced_logits(model, params, tokens, bev_indices,
     stacked = stack_layer_params(params, cfg)
     flat = tokens.reshape(b, -1)
 
-    def body(carry, step):
-        k_cache, v_cache, logits = carry
-        raw = step["raw"]
-        tok = flat[:, raw]
-        x_s = token_embedding(params, cfg, static, tok, raw)
-        new_logits, k_cache, v_cache = decode_step(
-            params, cfg, static, k_cache, v_cache, nc + step["t"], x_s,
-            stacked=stacked)
-        return (k_cache, v_cache, new_logits), logits
+    def make_body(pl):
+        def body(carry, step):
+            k_cache, v_cache, logits = carry
+            raw = step["raw"]
+            tok = flat[:, raw]
+            x_s = token_embedding(params, cfg, static, tok, raw)
+            new_logits, k_cache, v_cache = decode_step(
+                params, cfg, static, k_cache, v_cache, nc + step["t"],
+                x_s, stacked=stacked, prefix=pl)
+            return (k_cache, v_cache, new_logits), logits
+        return body
 
     xs = {"t": jnp.arange(N, dtype=jnp.int32),
           "raw": jnp.asarray(fwd, jnp.int32)}
-    _, all_logits = jax.lax.scan(body, (k_cache, v_cache, logits0), xs)
+    carry = (k_cache, v_cache, logits0)
+    chunks = []
+    L = cfg.gpt_block_size
+    for t0, t1, pl in bucket_ranges(L, nc, N, _resolve_prefix_bucket()):
+        chunk = jax.tree_util.tree_map(lambda x: x[t0:t1], xs)
+        carry, ys = jax.lax.scan(make_body(pl), carry, chunk)
+        chunks.append(ys)
+    all_logits = jnp.concatenate(chunks, axis=0)
     # all_logits[t] predicts decode step t -> scatter back to raw order
     out = jnp.zeros((b, N, all_logits.shape[-1]), jnp.float32)
     out = out.at[:, jnp.asarray(fwd, jnp.int32)].set(

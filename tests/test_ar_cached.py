@@ -150,3 +150,16 @@ def test_prefix_bucketing_bit_identical(monkeypatch):
         model, params, ids, cond, ii, ei))
     np.testing.assert_allclose(bucketed, full, rtol=5e-3,
                                atol=1e-4)
+
+
+def test_bucket_ranges_cover_all_steps():
+    for L, nc, N, bucket in [(64, 16, 48, 16), (2356, 256, 2100, 512),
+                             (64, 16, 48, 1 << 30), (100, 7, 93, 32)]:
+        ranges = ar_cached.bucket_ranges(L, nc, N, bucket)
+        ts = []
+        for t0, t1, pl in ranges:
+            assert t0 < t1 and pl <= L
+            # every position in the chunk fits inside its static prefix
+            assert nc + (t1 - 1) < pl
+            ts.extend(range(t0, t1))
+        assert ts == list(range(N))
