@@ -6,7 +6,7 @@ Prints the headline JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 IMMEDIATELY after the headline measurement (flushed), then runs the
 extra rows (int8 serving, serving batch, critic-free, AR path) in
-priority order under a wall-clock budget (BENCH_BUDGET_S, default 900 s)
+priority order under a wall-clock budget (BENCH_BUDGET_S, default 1800 s)
 and re-prints the final enriched line. The LAST JSON line on stdout is
 the complete result; the early line is insurance against an external
 timeout killing the extras (round-4 lesson: one terminal print lost
@@ -292,7 +292,7 @@ def main():
     # its (warm-cache) estimated cost. Skipped rows are listed in the
     # final line's "skipped" field so a truncated run is visible, not
     # silent.
-    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 
     # headline = the BASELINE.md-named workload (batch 16). The measured
     # serving optimum is batch 2-4 (docs/PERF_NOTES.md round-4 sweep:

@@ -208,6 +208,101 @@ def _resolve_prefix_bucket() -> int:
                               PREFIX_BUCKET)) or (1 << 30)
 
 
+DECODE_IMPL = "unrolled"
+
+
+def _resolve_decode_impl() -> str:
+    """'unrolled' (default): per-layer cache arrays, python-unrolled
+    layer loop — the static [:pl] prefix slices FUSE into the dots, so
+    there are NO per-layer cache copies (the stacked variant's
+    dynamic-index of layer i from the (nl, ...) array materialized a
+    slice copy per layer-step = 34% of the b2 generate in the round-5
+    trace). 'stacked': one lax.scan over stacked weights — ~24x
+    smaller program, but pays the dynamic-slice copies."""
+    import os
+    return os.environ.get("BEVGEN_AR_DECODE", DECODE_IMPL)
+
+
+def _fuse_qkv_per_layer(params: Dict, cfg: MultiViewConfig):
+    """Per-layer dicts with query/key/value fused into one 'qkv' dense
+    (independent output columns — bit-identical), for the unrolled
+    decode path."""
+    p = params["params"]
+    out = []
+    for i in range(cfg.num_layers):
+        blk = dict(p[f"block_{i}"])
+        q, k, v = blk.pop("query"), blk.pop("key"), blk.pop("value")
+        qkv = {}
+        for field in q:
+            assert field in ("kernel", "kernel_q", "scale", "bias"), field
+            qkv[field] = jnp.concatenate([q[field], k[field], v[field]],
+                                         axis=-1)
+        blk["qkv"] = qkv
+        out.append(blk)
+    return out
+
+
+def decode_step_unrolled(params: Dict, cfg: MultiViewConfig,
+                         static: ARStatic, k_list, v_list, s, x_s,
+                         blocks=None, prefix: Optional[int] = None):
+    """decode_step with PER-LAYER cache arrays (tuples) and an unrolled
+    python layer loop: cache reads are static prefix slices that fuse
+    straight into the bf16 dots — zero per-layer copies."""
+    p = params["params"]
+    L = cfg.gpt_block_size
+    block = cfg.sparse_block_size
+    b = x_s.shape[0]
+    H = cfg.num_heads
+    dh = cfg.hidden_size // H
+    scale = 1.0 / float(np.sqrt(dh))
+    pl = L if prefix is None else prefix
+    if blocks is None:
+        blocks = _fuse_qkv_per_layer(params, cfg)
+
+    col = jnp.arange(L)
+    lay_rows = jax.lax.dynamic_index_in_dim(
+        static.layouts, s // block, axis=1, keepdims=False)   # (H, nb)
+    lay = _expand_layout_rows(lay_rows, block, L) > 0          # (H, L)
+    mask_pl = (lay & (col[None, :] <= s))[:, :pl]              # (H, pl)
+    if static.bias_rows is not None:
+        bias_pl = jax.lax.dynamic_index_in_dim(
+            static.bias_rows, s, axis=0, keepdims=False)[:pl]  # (pl,)
+    else:
+        bias_pl = 0.0
+
+    k_list, v_list = list(k_list), list(v_list)
+    x = x_s[:, None, :]
+    for i, blk in enumerate(blocks):
+        xn = _ln(blk["ln1"], x)
+        qkv = _dense(blk["qkv"], xn)[:, 0]                 # (b, 3*hidden)
+        q, k, v = (qkv[:, :H * dh].reshape(b, H, dh),
+                   qkv[:, H * dh:2 * H * dh].reshape(b, H, dh),
+                   qkv[:, 2 * H * dh:].reshape(b, H, dh))
+        k_list[i] = jax.lax.dynamic_update_slice(
+            k_list[i], k[:, :, None, :].astype(k_list[i].dtype),
+            (0, 0, s, 0))
+        v_list[i] = jax.lax.dynamic_update_slice(
+            v_list[i], v[:, :, None, :].astype(v_list[i].dtype),
+            (0, 0, s, 0))
+        k_i = k_list[i][:, :, :pl]
+        v_i = v_list[i][:, :, :pl]
+        scores = jnp.einsum("bhd,bhjd->bhj", q.astype(k_i.dtype), k_i,
+                            preferred_element_type=jnp.float32)
+        scores = (scores + bias_pl) * scale
+        scores = jnp.where(mask_pl[None], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhj,bhjd->bhd", probs.astype(v_i.dtype), v_i,
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
+        attn = attn.reshape(b, 1, cfg.hidden_size)
+        x = xn + attn
+        x = x + _mlp(blk, x)
+
+    out = _ln(p["ln_f"], x[:, 0])
+    logits = _dense(p["head"], out)
+    return logits.astype(jnp.float32), tuple(k_list), tuple(v_list)
+
+
 def bucket_ranges(L: int, nc: int, N: int, bucket: int):
     """Chunk the decode steps t in [0, N) by the static cache-prefix
     width their positions s = nc + t need: returns [(t0, t1, pl)] where
@@ -301,13 +396,22 @@ def _decode_step_prefix(p, cfg, stacked, mask_row, bias_row,
             kc, i, 0, keepdims=False)[:, :, :pl]
         v_i = jax.lax.dynamic_index_in_dim(
             vc, i, 0, keepdims=False)[:, :, :pl]
-        scores = jnp.einsum("bhd,bhjd->bhj", q.astype(jnp.float32),
-                            k_i.astype(jnp.float32))       # (b,H,pl)
+        # bf16 operands + f32 MXU accumulation: bf16xbf16 products are
+        # EXACT in f32, so this matches the old f32 dot up to reduction
+        # order — while the upcast-to-f32 path made XLA MATERIALIZE f32
+        # copies of both cache slices every layer-step
+        # (dynamic-slice_bitcast fusions = 34% of the b2 generate in
+        # the round-5 trace)
+        scores = jnp.einsum("bhd,bhjd->bhj", q.astype(kc.dtype), k_i,
+                            preferred_element_type=jnp.float32)
         scores = (scores + bias_pl) * scale
         scores = jnp.where(mask_pl[None], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bhj,bhjd->bhd", probs,
-                          v_i.astype(jnp.float32)).astype(x.dtype)
+        # probs at the cache dtype for the AV read (flash-attention
+        # convention); f32 accumulation
+        attn = jnp.einsum("bhj,bhjd->bhd", probs.astype(vc.dtype), v_i,
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
         attn = attn.reshape(b, 1, cfg.hidden_size)
         x = xn + attn
         x = x + _mlp(blk, x)
@@ -320,6 +424,28 @@ def _decode_step_prefix(p, cfg, stacked, mask_row, bias_row,
     out = _ln(p["ln_f"], x[:, 0])
     logits = _dense(p["head"], out)
     return logits.astype(jnp.float32), k_cache, v_cache
+
+
+def _make_stepper(params, cfg, static, k_cache, v_cache):
+    """Select the decode implementation (see _resolve_decode_impl) and
+    adapt the prefill caches to its pytree shape. Returns
+    (step_fn(kc, vc, s, x_s, pl) -> (logits, kc, vc), kc0, vc0)."""
+    if _resolve_decode_impl() == "unrolled":
+        blocks = _fuse_qkv_per_layer(params, cfg)
+        kc0 = tuple(k_cache[i] for i in range(cfg.num_layers))
+        vc0 = tuple(v_cache[i] for i in range(cfg.num_layers))
+
+        def step(kc, vc, s, x_s, pl):
+            return decode_step_unrolled(params, cfg, static, kc, vc, s,
+                                        x_s, blocks=blocks, prefix=pl)
+        return step, kc0, vc0
+
+    stacked = stack_layer_params(params, cfg)
+
+    def step(kc, vc, s, x_s, pl):
+        return decode_step(params, cfg, static, kc, vc, s, x_s,
+                           stacked=stacked, prefix=pl)
+    return step, k_cache, v_cache
 
 
 def token_embedding(params: Dict, cfg: MultiViewConfig, static: ARStatic,
@@ -352,7 +478,8 @@ def ar_sample_cached(model, params, bev_indices, intrinsics_inv,
     static = precompute_static(params, cfg, bev_indices, intrinsics_inv,
                                extrinsics_inv)
     k_cache, v_cache, logits0 = prefill(params, cfg, static)
-    stacked = stack_layer_params(params, cfg)  # once per generate
+    step_fn, k_cache, v_cache = _make_stepper(params, cfg, static,
+                                              k_cache, v_cache)
 
     ids = jnp.full((b, cam, hw), cfg.vocab_size, jnp.int32)
     if init_ids is not None:
@@ -376,9 +503,8 @@ def ar_sample_cached(model, params, bev_indices, intrinsics_inv,
                 tok = jnp.where(keep[:, c_i, p_i], ids[:, c_i, p_i], tok)
             ids = ids.at[:, c_i, p_i].set(tok)
             x_s = token_embedding(params, cfg, static, tok, step["raw"])
-            logits, k_cache, v_cache = decode_step(
-                params, cfg, static, k_cache, v_cache, nc + t, x_s,
-                stacked=stacked, prefix=pl)
+            logits, k_cache, v_cache = step_fn(k_cache, v_cache, nc + t,
+                                               x_s, pl)
             return (ids, k_cache, v_cache, logits), None
         return body
 
@@ -410,7 +536,8 @@ def teacher_forced_logits(model, params, tokens, bev_indices,
     static = precompute_static(params, cfg, bev_indices, intrinsics_inv,
                                extrinsics_inv)
     k_cache, v_cache, logits0 = prefill(params, cfg, static)
-    stacked = stack_layer_params(params, cfg)
+    step_fn, k_cache, v_cache = _make_stepper(params, cfg, static,
+                                              k_cache, v_cache)
     flat = tokens.reshape(b, -1)
 
     def make_body(pl):
@@ -419,9 +546,8 @@ def teacher_forced_logits(model, params, tokens, bev_indices,
             raw = step["raw"]
             tok = flat[:, raw]
             x_s = token_embedding(params, cfg, static, tok, raw)
-            new_logits, k_cache, v_cache = decode_step(
-                params, cfg, static, k_cache, v_cache, nc + step["t"],
-                x_s, stacked=stacked, prefix=pl)
+            new_logits, k_cache, v_cache = step_fn(
+                k_cache, v_cache, nc + step["t"], x_s, pl)
             return (k_cache, v_cache, new_logits), logits
         return body
 
