@@ -201,7 +201,7 @@ def measure_ar(reps, budget):
 
     # int8-weight GPT serving row (halved per-step weight traffic —
     # the decode step is HBM-bound after the stacked-scan/prefix work)
-    if _remaining(budget) >= 150:
+    if _remaining(budget) >= 90:
         qpipe, qparams = pipe.quantized(params)
         qgen = jax.jit(lambda p, s, i1, i2, r: qpipe.generate_fn(
             p, s, i1, i2, r))
