@@ -270,6 +270,18 @@ def decode_step_unrolled(params: Dict, cfg: MultiViewConfig,
     else:
         bias_pl = 0.0
 
+    # BEVGEN_AR_ATTN=pallas: one-pass decode-attention kernel
+    # (ops/pallas/decode_attention.py) instead of the ~5 XLA fusions
+    # per layer. Env-gated (off by default until TPU-measured faster);
+    # the addend folds mask+bias once per step: scores*scale + addend
+    # == the inline (scores+bias)*scale then mask, to fp equivalence.
+    import os
+    use_kernel = os.environ.get("BEVGEN_AR_ATTN") == "pallas"
+    if use_kernel:
+        from bevgen_tpu.ops.pallas.decode_attention import decode_attention
+        addend = jnp.where(mask_pl, jnp.asarray(bias_pl, jnp.float32)
+                           * scale, NEG_INF)[:, :, None]    # (H, pl, 1)
+
     k_list, v_list = list(k_list), list(v_list)
     x = x_s[:, None, :]
     for i, blk in enumerate(blocks):
@@ -286,14 +298,19 @@ def decode_step_unrolled(params: Dict, cfg: MultiViewConfig,
             (0, 0, s, 0))
         k_i = k_list[i][:, :, :pl]
         v_i = v_list[i][:, :, :pl]
-        scores = jnp.einsum("bhd,bhjd->bhj", q.astype(k_i.dtype), k_i,
-                            preferred_element_type=jnp.float32)
-        scores = (scores + bias_pl) * scale
-        scores = jnp.where(mask_pl[None], scores, NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bhj,bhjd->bhd", probs.astype(v_i.dtype), v_i,
-                          preferred_element_type=jnp.float32
-                          ).astype(x.dtype)
+        if use_kernel:
+            attn = decode_attention(
+                q, k_i, v_i, addend, scale,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            scores = jnp.einsum("bhd,bhjd->bhj", q.astype(k_i.dtype),
+                                k_i, preferred_element_type=jnp.float32)
+            scores = (scores + bias_pl) * scale
+            scores = jnp.where(mask_pl[None], scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("bhj,bhjd->bhd", probs.astype(v_i.dtype),
+                              v_i, preferred_element_type=jnp.float32
+                              ).astype(x.dtype)
         attn = attn.reshape(b, 1, cfg.hidden_size)
         x = xn + attn
         x = x + _mlp(blk, x)
