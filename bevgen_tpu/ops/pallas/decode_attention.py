@@ -36,24 +36,27 @@ ROWS_PER = 8
 
 
 def _kernel(q_ref, k_ref, v_ref, a_ref, o_ref, *, sm_scale):
+    # every operand stays 2-D with static row slices: Mosaic cannot
+    # insert a minor dim on 16-bit types, and (1, pl)-shaped score rows
+    # keep the softmax reductions on the lane dim
     outs = []
     for r in range(ROWS_PER):
-        q = q_ref[r]                                   # (dh,)
+        q2 = q_ref[r:r + 1]                            # (1, dh)
         K = k_ref[r]                                   # (pl, dh)
         V = v_ref[r]                                   # (pl, dh)
-        a = a_ref[r]                                   # (pl, 1) f32
+        a = a_ref[r]                                   # (1, pl) f32
         s = jax.lax.dot_general(
-            K, q[:, None], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (pl, 1)
+            q2, K, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (1, pl)
         s = s * sm_scale + a
         m = jnp.max(s)
-        p = jnp.exp(s - m)                             # (pl, 1) f32
+        p = jnp.exp(s - m)                             # (1, pl) f32
         d = jnp.sum(p)
         # probs at the cache dtype for the AV contraction (same
         # convention as the jnp path: probs.astype(v.dtype))
         pb = (p / d).astype(V.dtype)
         o = jax.lax.dot_general(
-            pb, V, (((0,), (0,)), ((), ())),
+            pb, V, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # (1, dh)
         outs.append(o)
     o_ref[...] = jnp.concatenate(outs, axis=0).astype(o_ref.dtype)
@@ -75,8 +78,8 @@ def decode_attention(q, k, v, addend, sm_scale: float,
     qf = q.reshape(R, dh)
     kf = k.reshape(R, pl_len, dh)
     vf = v.reshape(R, pl_len, dh)
-    af = jnp.broadcast_to(addend[None], (b, H, pl_len, 1)).reshape(
-        R, pl_len, 1)
+    af = jnp.broadcast_to(addend[None, :, None, :, 0],
+                          (b, H, 1, pl_len)).reshape(R, 1, pl_len)
     grid = (R // ROWS_PER,)
     out = pl.pallas_call(
         functools.partial(_kernel, sm_scale=sm_scale),
@@ -85,7 +88,7 @@ def decode_attention(q, k, v, addend, sm_scale: float,
             pl.BlockSpec((ROWS_PER, dh), lambda i: (i, 0)),
             pl.BlockSpec((ROWS_PER, pl_len, dh), lambda i: (i, 0, 0)),
             pl.BlockSpec((ROWS_PER, pl_len, dh), lambda i: (i, 0, 0)),
-            pl.BlockSpec((ROWS_PER, pl_len, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((ROWS_PER, 1, pl_len), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((ROWS_PER, dh), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((R, dh), q.dtype),
