@@ -30,9 +30,15 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 ROWS_PER = 8
+
+
+def _vmem_scope_bytes() -> int:
+    from bevgen_tpu.ops.pallas.fused_attention import _vmem_scope_bytes
+    return _vmem_scope_bytes()
 
 
 def _kernel(q_ref, k_ref, v_ref, a_ref, o_ref, *, sm_scale):
@@ -92,6 +98,11 @@ def decode_attention(q, k, v, addend, sm_scale: float,
         ],
         out_specs=pl.BlockSpec((ROWS_PER, dh), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((R, dh), q.dtype),
+        # the double-buffered K/V prefixes exceed the 16MB default
+        # scope at pl=2432 — request the chip's real VMEM (same
+        # calibration as fused_attention._vmem_scope_bytes)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_scope_bytes()),
         interpret=interpret,
     )(qf, kf, vf, af)
     return out.reshape(b, H, dh)
