@@ -49,6 +49,13 @@ def main(argv=None):
     limit = int(args.pop("limit_batches", 0))
     layout = args.pop("layout", "argoverse")
     save_rec = args.pop("save_rec", "false").lower() == "true"
+    # rand_str: random suffix per token so repeated runs into one dir
+    # don't collide (reference README.md:95-97, utils/callback.py)
+    rand_str = args.pop("rand_str", "false").lower() == "true"
+    # mini_dataset=N: truncate the dataset (reference extras.mini_dataset)
+    mini_dataset = int(args.pop("mini_dataset", 0)) or None
+    # bev_dir_name: pre-generated raster tree name (reference README.md:47)
+    bev_dir_name = args.pop("bev_dir_name", "bev_seg_full_11_14")
     # partial decoding: keep these cameras' GT tokens fixed and only
     # regenerate the rest (cond_transformer_multi_view_muse.py:125-132)
     keep_cameras = [c for c in args.pop("keep_cameras", "").split(",") if c]
@@ -103,7 +110,9 @@ def main(argv=None):
     else:
         from bevgen_tpu.data.argoverse import ArgoverseDataset
         ds = ArgoverseDataset(split=split, eval_generate=save_dir,
-                              cam_res=cfg.transformer.cam_res)
+                              cam_res=cfg.transformer.cam_res,
+                              mini_dataset=mini_dataset,
+                              bev_dir_name=bev_dir_name)
         loader = dm.DataLoader(ds, batch_size, shuffle=False,
                                drop_last=True)
         batches = iter(loader)
@@ -143,7 +152,8 @@ def main(argv=None):
         run = jax.jit(lambda p, s, ii, ei, r, init: pipe.generate_fn(
             p, s, ii, ei, r, init_ids=init))
     # background writer: JPEG encode/IO overlaps the next device batch
-    writer = GenerationWriter(save_dir, layout=layout, background=True)
+    writer = GenerationWriter(save_dir, layout=layout, background=True,
+                              rand_str=rand_str)
     rng = jax.random.PRNGKey(seed)
 
     recon = None

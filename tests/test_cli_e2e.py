@@ -46,6 +46,22 @@ def test_generate_cli_fake_data(tmp_path, capsys):
     assert (out / "rec").exists() or (out / "sample_rec").exists()
 
 
+def test_generate_cli_rand_str(tmp_path, capsys):
+    """rand_str=true suffixes each sample token (reference README.md:95-97,
+    utils/callback.py) so repeated runs into one dir don't collide; the
+    mini_dataset/bev_dir_name dataset flags parse without error."""
+    from bevgen_tpu.scripts import generate
+
+    out = tmp_path / "gen"
+    generate.main(_tiny([f"eval_generate={out}", "fake=1", "batch_size=1",
+                         "rand_str=true", "mini_dataset=4",
+                         "bev_dir_name=bev_seg_full_11_14"]))
+    capsys.readouterr()
+    (tok,) = os.listdir(out / "sample")
+    base, _, suffix = tok.rpartition("_")
+    assert base and len(suffix) == 5 and suffix.isalnum()
+
+
 def test_generate_cli_partial_decode(tmp_path, capsys):
     """keep_cameras pins a camera's GT tokens (partial decoding,
     cond_transformer_multi_view_muse.py:125-132) through the CLI."""
